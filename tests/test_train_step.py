@@ -1,0 +1,90 @@
+"""Train-step smoke + behavior tests on tiny shapes (CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from uegan_tpu.config import Config
+from uegan_tpu.train.state import create_train_state, count_params
+from uegan_tpu.train.step import make_train_step, make_eval_step
+from uegan_tpu.train.schedules import make_lr_schedule
+
+
+TINY = Config(
+    g_conv_dim=8,
+    d_conv_dim=8,
+    train_batch_size=2,
+    pool_size=4,
+    compute_dtype="float32",
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    state, bundle = create_train_state(TINY, jax.random.PRNGKey(0), (32, 32), steps_per_epoch=10)
+    step_fn = jax.jit(make_train_step(bundle))
+    return state, bundle, step_fn
+
+
+def test_train_step_runs_and_updates(tiny_setup):
+    state, bundle, step_fn = tiny_setup
+    raw = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 3), minval=-1, maxval=1)
+    exp = jax.random.uniform(jax.random.PRNGKey(2), (2, 32, 32, 3), minval=-1, maxval=1)
+    new_state, metrics, fake, store = step_fn(state, raw, exp)
+    assert int(new_state.step) == 1
+    for k in ("D/Total", "G/Total", "G/adv_loss", "G/percep_loss", "G/idt_loss"):
+        v = float(metrics[k])
+        assert np.isfinite(v), k
+    # G and D params actually moved
+    d0 = jax.tree_util.tree_leaves(state.g_params)[0]
+    d1 = jax.tree_util.tree_leaves(new_state.g_params)[0]
+    assert not np.allclose(np.asarray(d0), np.asarray(d1))
+    # spectral state advanced (D uses SN by default)
+    u0 = jax.tree_util.tree_leaves(state.d_extra["spectral"])[0]
+    u1 = jax.tree_util.tree_leaves(new_state.d_extra["spectral"])[0]
+    assert not np.allclose(np.asarray(u0), np.asarray(u1))
+    # pool filled with the batch
+    assert int(new_state.pool.count) == 2
+    assert fake.shape == raw.shape and store.shape == raw.shape
+
+
+def test_two_steps_deterministic(tiny_setup):
+    state, bundle, step_fn = tiny_setup
+    raw = jax.random.uniform(jax.random.PRNGKey(3), (2, 32, 32, 3), minval=-1, maxval=1)
+    exp = jax.random.uniform(jax.random.PRNGKey(4), (2, 32, 32, 3), minval=-1, maxval=1)
+    s1, m1, _, _ = step_fn(state, raw, exp)
+    s2, m2, _, _ = step_fn(state, raw, exp)
+    np.testing.assert_allclose(float(m1["G/Total"]), float(m2["G/Total"]), rtol=0)
+    a = jax.tree_util.tree_leaves(s1.g_params)[0]
+    b = jax.tree_util.tree_leaves(s2.g_params)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_eval_step(tiny_setup):
+    state, bundle, step_fn = tiny_setup
+    eval_fn = jax.jit(make_eval_step(bundle))
+    raw = jax.random.uniform(jax.random.PRNGKey(5), (1, 32, 32, 3), minval=-1, maxval=1)
+    out = eval_fn(state.g_params, state.g_extra, raw)
+    assert out.shape == raw.shape
+    assert float(jnp.max(jnp.abs(out))) <= 1.0
+
+
+def test_lr_schedule_matches_lambda_rule():
+    """lr(epoch e) = base * (1 - max(0, e+1-50)/50) (reference: trainer.py:348-349)."""
+    sched = make_lr_schedule(1e-4, steps_per_epoch=100)
+    assert np.isclose(float(sched(0)), 1e-4)
+    assert np.isclose(float(sched(49 * 100)), 1e-4)  # epoch 49: factor 1.0
+    assert np.isclose(float(sched(50 * 100)), 1e-4 * (1 - 1 / 50))
+    assert np.isclose(float(sched(75 * 100)), 1e-4 * (1 - 26 / 50))
+    assert np.isclose(float(sched(99 * 100)), 1e-4 * (1 - 50 / 50))
+
+
+def test_no_adv_input_changes_d_loss():
+    cfg = TINY.replace(adv_input=False)
+    state, bundle = create_train_state(cfg, jax.random.PRNGKey(0), (32, 32), steps_per_epoch=10)
+    step_fn = jax.jit(make_train_step(bundle))
+    raw = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 3), minval=-1, maxval=1)
+    exp = jax.random.uniform(jax.random.PRNGKey(2), (2, 32, 32, 3), minval=-1, maxval=1)
+    _, metrics, _, _ = step_fn(state, raw, exp)
+    assert np.isfinite(float(metrics["D/Total"]))

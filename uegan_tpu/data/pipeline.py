@@ -1,0 +1,232 @@
+"""Host-side input pipeline: decode -> augment -> batch -> prefetch.
+
+Replaces the reference's torch DataLoader + worker subprocesses
+(reference: data_loader.py:72-108) with a thread-pool pipeline that overlaps
+PIL decode/augmentation with device compute and prefetches whole device-ready
+NHWC float32 batches.  Augmentation parity (reference: data_loader.py:74-101):
+
+- train: RandomCrop(image_size) -> Resize(resize_size^2, bilinear/antialias)
+         -> random H flip (p=.5) -> random V flip (p=.5)
+         -> normalize to [-1, 1]; each image of the (exp, raw) pair gets
+         independent randomness, as in the reference.
+- test/val: Resize(test_img_size^2) -> normalize.
+
+Randomness is a deterministic function of (seed, epoch, index) — the torch
+pipeline's bit-stream cannot be replicated, but the augmentation
+*distribution* is identical and runs are reproducible (SURVEY.md §7 hard
+part 5).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+from PIL import Image
+
+from uegan_tpu.data.dataset import PairedImageDataset
+
+
+def _to_float_norm(img: Image.Image) -> np.ndarray:
+    """HWC uint8 -> float32 in [-1, 1] (Normalize(0.5, 0.5))."""
+    arr = np.asarray(img, dtype=np.float32) / 255.0
+    return (arr - 0.5) / 0.5
+
+
+def _random_crop(img: Image.Image, size: int, rng: np.random.Generator) -> Image.Image:
+    w, h = img.size
+    if w == size and h == size:
+        return img
+    if w < size or h < size:
+        # torchvision RandomCrop would raise; we pad-reflect to size instead
+        # so tiny fixtures work (documented deviation).
+        arr = np.asarray(img)
+        ph, pw = max(0, size - h), max(0, size - w)
+        arr = np.pad(arr, ((0, ph), (0, pw), (0, 0)), mode="reflect")
+        img = Image.fromarray(arr)
+        w, h = img.size
+    left = int(rng.integers(0, w - size + 1))
+    top = int(rng.integers(0, h - size + 1))
+    return img.crop((left, top, left + size, top + size))
+
+
+def _train_transform(img: Image.Image, crop: int, resize: int, rng: np.random.Generator) -> np.ndarray:
+    img = _random_crop(img, crop, rng)
+    img = img.resize((resize, resize), Image.BILINEAR)
+    if rng.random() < 0.5:
+        img = img.transpose(Image.FLIP_LEFT_RIGHT)
+    if rng.random() < 0.5:
+        img = img.transpose(Image.FLIP_TOP_BOTTOM)
+    return _to_float_norm(img)
+
+
+def _test_transform(img: Image.Image, size: int) -> np.ndarray:
+    return _to_float_norm(img.resize((size, size), Image.BILINEAR))
+
+
+class _Loader:
+    """Deterministic batched loader with thread prefetch.
+
+    Yields dicts: img_exp (B,H,W,3) float32 [-1,1], img_raw same, img_name
+    list[str] — the Munch contract of the reference fetcher
+    (reference: data_loader.py:124-129; note domain1=exp, domain2=raw).
+    """
+
+    def __init__(
+        self,
+        dataset: PairedImageDataset,
+        batch_size: int,
+        train: bool,
+        image_size: int = 512,
+        resize_size: int = 256,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        seed: int = 1990,
+        num_threads: int = 4,
+        prefetch: int = 2,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.train = train
+        self.image_size = image_size
+        self.resize_size = resize_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.num_threads = max(1, num_threads)
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _epoch_order(self, epoch: int) -> np.ndarray:
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.default_rng((self.seed, epoch)).shuffle(idx)
+        return idx
+
+    def _load_item(self, index: int, epoch: int) -> Dict:
+        img1, img2, name = self.dataset.load_pair(index)
+        if self.train:
+            r1 = np.random.default_rng((self.seed, epoch, index, 0))
+            r2 = np.random.default_rng((self.seed, epoch, index, 1))
+            a1 = _train_transform(img1, self.image_size, self.resize_size, r1)
+            a2 = _train_transform(img2, self.image_size, self.resize_size, r2)
+        else:
+            a1 = _test_transform(img1, self.image_size)
+            a2 = _test_transform(img2, self.image_size)
+        return {"exp": a1, "raw": a2, "name": name}
+
+    def __iter__(self) -> Iterator[Dict]:
+        epoch = self.epoch
+        self.epoch += 1
+        order = self._epoch_order(epoch)
+        nb = len(self)
+        batches = [order[i * self.batch_size : (i + 1) * self.batch_size] for i in range(nb)]
+        if not self.drop_last and nb * self.batch_size < len(order):
+            pass  # len() already accounted for the tail batch
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            try:
+                for b in batches:
+                    if stop.is_set():
+                        return
+                    items = [self._load_item(int(i), epoch) for i in b]
+                    batch = {
+                        "img_exp": np.stack([it["exp"] for it in items]),
+                        "img_raw": np.stack([it["raw"] for it in items]),
+                        "img_name": [it["name"] for it in items],
+                    }
+                    q.put(batch)
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                batch = q.get()
+                if batch is None:
+                    return
+                yield batch
+        finally:
+            stop.set()
+
+
+def get_train_loader(
+    root,
+    img_size: int = 512,
+    resize_size: int = 256,
+    batch_size: int = 8,
+    shuffle: bool = True,
+    num_workers: int = 8,
+    drop_last: bool = True,
+    seed: int = 1990,
+) -> _Loader:
+    return _Loader(
+        PairedImageDataset(root),
+        batch_size=batch_size,
+        train=True,
+        image_size=img_size,
+        resize_size=resize_size,
+        shuffle=shuffle,
+        drop_last=drop_last,
+        seed=seed,
+        num_threads=num_workers,
+    )
+
+
+def get_test_loader(
+    root,
+    img_size: int = 512,
+    batch_size: int = 8,
+    shuffle: bool = False,
+    num_workers: int = 4,
+    seed: int = 1990,
+) -> _Loader:
+    return _Loader(
+        PairedImageDataset(root),
+        batch_size=batch_size,
+        train=False,
+        image_size=img_size,
+        shuffle=shuffle,
+        drop_last=False,
+        seed=seed,
+        num_threads=num_workers,
+    )
+
+
+class InputFetcher:
+    """Infinite iterator over a loader, optionally device-putting with a sharding.
+
+    The reference fetcher moved tensors host->device per batch
+    (reference: data_loader.py:111-129); here ``jax.device_put`` with a
+    NamedSharding places each global batch directly onto the mesh.
+    """
+
+    def __init__(self, loader: _Loader, sharding=None):
+        self.loader = loader
+        self.sharding = sharding
+        self._it: Optional[Iterator] = None
+
+    def __next__(self) -> Dict:
+        import jax
+
+        try:
+            batch = next(self._it)  # type: ignore[arg-type]
+        except (AttributeError, StopIteration, TypeError):
+            self._it = iter(self.loader)
+            batch = next(self._it)
+        out = dict(batch)
+        if self.sharding is not None:
+            out["img_exp"] = jax.device_put(batch["img_exp"], self.sharding)
+            out["img_raw"] = jax.device_put(batch["img_raw"], self.sharding)
+        return out

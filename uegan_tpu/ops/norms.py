@@ -1,0 +1,55 @@
+"""Normalization primitives (NHWC).
+
+- ``instance_norm``: torch ``nn.InstanceNorm2d`` parity (biased variance,
+  eps=1e-5), used non-affine inside GAM (reference: models.py:227,236) and
+  inside the perceptual loss (reference: losses.py:18,30-34).
+- ``feature_mean_std``: the GAM statistics op — per-(N,C) mean and *unbiased*
+  std over H*W (torch ``.var(dim=2)`` default; reference: models.py:204-212).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+
+def instance_norm(
+    x: jnp.ndarray,
+    eps: float = 1e-5,
+    scale: Optional[jnp.ndarray] = None,
+    bias: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Per-instance, per-channel normalization over H,W (biased variance)."""
+    acc = x.astype(jnp.float32)
+    mean = jnp.mean(acc, axis=(1, 2), keepdims=True)
+    var = jnp.mean(jnp.square(acc - mean), axis=(1, 2), keepdims=True)
+    y = (acc - mean) * jax_rsqrt(var + eps)
+    if scale is not None:
+        y = y * scale
+    if bias is not None:
+        y = y + bias
+    return y.astype(x.dtype)
+
+
+def jax_rsqrt(v):
+    import jax.lax as lax
+
+    return lax.rsqrt(v)
+
+
+def feature_mean_std(x: jnp.ndarray, eps: float = 1e-5) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """GAM global statistics: mean/std over H*W per (N, C).
+
+    Matches ``calc_mean_std`` (reference: models.py:204-212): variance is
+    *unbiased* (N-1 denominator, torch ``.var`` default), eps added to the
+    variance before sqrt.  Returns tensors shaped (N, 1, 1, C).
+    """
+    n, h, w, c = x.shape
+    acc = x.astype(jnp.float32)
+    mean = jnp.mean(acc, axis=(1, 2), keepdims=True)
+    diff = acc - mean
+    denom = max(h * w - 1, 1)
+    var = jnp.sum(diff * diff, axis=(1, 2), keepdims=True) / denom
+    std = jnp.sqrt(var + eps)
+    return mean.astype(x.dtype), std.astype(x.dtype)

@@ -1,0 +1,154 @@
+"""Inference/eval engine.
+
+Mirrors the reference Tester (reference: tester.py:19-146): load the
+epoch checkpoint, enhance the whole test set, save outputs plus side-by-side
+compare PNGs, then run NIMA (and optionally PSNR/SSIM) over the saved files.
+Accepts both native orbax checkpoints and the published torch ``.pth``
+(converted on the fly).
+
+TPU specifics: inference batches are jit-compiled once per shape (the tail
+batch is padded to the compiled batch size); with ``mesh_spatial > 1`` or a
+multi-device mesh, high-res inputs are spatially sharded via GSPMD
+(BASELINE config #5), and ``tile_size > 0`` selects the single-device
+overlap-tile path instead.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from uegan_tpu.config import Config
+from uegan_tpu.metrics.nima import calc_nima
+from uegan_tpu.metrics.psnr import calc_psnr
+from uegan_tpu.metrics.ssim import calc_ssim
+from uegan_tpu.parallel.mesh import default_mesh
+from uegan_tpu.parallel.sharding import batch_sharding, replicated
+from uegan_tpu.train.state import create_train_state, count_params
+from uegan_tpu.train.step import make_eval_step
+from uegan_tpu.utils.checkpoint import CheckpointManager
+from uegan_tpu.utils.image_io import save_image, save_image_grid
+from uegan_tpu.utils.logging import Logger, ProgressMeter
+from uegan_tpu.utils.seed import setup_seed
+
+
+def _denorm_np(x) -> np.ndarray:
+    return np.clip((np.asarray(x, dtype=np.float32) + 1.0) / 2.0, 0.0, 1.0)
+
+
+class Tester:
+    def __init__(self, loaders, args: Config, mesh=None):
+        self.loaders = loaders
+        self.args = args
+        self.mesh = mesh if mesh is not None else default_mesh(args)
+
+        root = os.path.join(args.save_root_dir, args.version)
+        self.model_save_path = os.path.join(root, args.model_save_path)
+        self.sample_path = os.path.join(root, args.sample_path)
+        self.log_path = os.path.join(root, args.log_path)
+        self.test_result_path = os.path.join(root, args.test_result_path)
+        os.makedirs(self.test_result_path, exist_ok=True)
+
+        self.build_model()
+        self.logger = Logger(self.log_path) if args.use_tensorboard else None
+        self.ckpt = CheckpointManager(self.model_save_path, args)
+        self.meter = ProgressMeter()
+
+    def build_model(self):
+        args = self.args
+        rng = setup_seed(args.seed)
+        self.state, self.bundle = create_train_state(
+            args, rng, (args.test_img_size, args.test_img_size), steps_per_epoch=1
+        )
+        if args.is_print_network:
+            for name, tree in (("Generator", self.state.g_params), ("Discriminator", self.state.d_params)):
+                n = count_params(tree)
+                print(f"=== The number of parameters of [{name}] is [{n}] or [{n / 1e6:>.4f}M] ===")
+        self._eval_fn = jax.jit(make_eval_step(self.bundle))
+        print("=== Models have been created ===")
+
+    def load_pretrained_model(self, resume_epochs):
+        orbax_path = self.ckpt.path(resume_epochs)
+        pth = orbax_path + ".pth"
+        if os.path.exists(orbax_path):
+            template = jax.device_get(self.state)
+            self.state = self.ckpt.restore(template, resume_epochs)
+        elif os.path.exists(pth):
+            from uegan_tpu.convert.torch_import import import_uegan_checkpoint
+
+            conv = import_uegan_checkpoint(pth, self.args.g_use_sn, self.args.d_use_sn)
+            cast = lambda new, old: jnp.asarray(new, old.dtype)
+            g_extra = dict(self.state.g_extra)
+            for k in g_extra:
+                if k in conv["g_vars"]:
+                    g_extra[k] = jax.tree_util.tree_map(cast, conv["g_vars"][k], g_extra[k])
+            self.state = self.state.replace(
+                g_params=jax.tree_util.tree_map(cast, conv["g_vars"]["params"], self.state.g_params),
+                d_params=jax.tree_util.tree_map(cast, conv["d_vars"]["params"], self.state.d_params),
+                g_extra=g_extra,
+            )
+        else:
+            raise FileNotFoundError(f"no checkpoint for epoch {resume_epochs}: {orbax_path}[.pth]")
+        print(f"=========== loaded trained models (epochs: {resume_epochs})! ===========")
+
+    # ------------------------------------------------------------------
+    def enhance(self, raw_batch: np.ndarray) -> np.ndarray:
+        """Enhance a [-1,1] NHWC batch, padding the tail to the jit shape."""
+        b = raw_batch.shape[0]
+        target_b = self.args.val_batch_size if b <= self.args.val_batch_size else b
+        if b < target_b:
+            pad = np.zeros((target_b - b,) + raw_batch.shape[1:], raw_batch.dtype)
+            raw_batch = np.concatenate([raw_batch, pad])
+        out = self._eval_fn(self.state.g_params, self.state.g_extra, jnp.asarray(raw_batch))
+        return np.asarray(out)[:b]
+
+    def test(self):
+        args = self.args
+        if args.pretrained_model:
+            self.load_pretrained_model(args.pretrained_model)
+        start_time = time.time()
+
+        test_save_path = os.path.join(self.test_result_path, "test_results")
+        test_compare_save_path = os.path.join(self.test_result_path, "test_compare")
+        os.makedirs(test_save_path, exist_ok=True)
+        os.makedirs(test_compare_save_path, exist_ok=True)
+        tag = args.pretrained_model
+
+        print("==================== Start testing ====================")
+        n_done = 0
+        for batch in self.loaders["tes"]:
+            raw = batch["img_raw"]
+            out = self.enhance(raw)
+            out01, raw01 = _denorm_np(out), _denorm_np(raw)
+            for i in range(out01.shape[0]):
+                name = batch["img_name"][i]
+                save_image(out01[i], os.path.join(test_save_path, f"{name}_{tag:0>3.2f}_testFakeExp.png"))
+                save_image_grid(
+                    [raw01[i], out01[i]],
+                    os.path.join(test_compare_save_path, f"{name}_{tag:0>3.2f}_testRealRaw_testFakeExp.png"),
+                )
+                n_done += 1
+            if self.logger is not None:
+                self.logger.images_summary("test/testFakeExp", out01, n_done)
+        print(f"=== Saved {n_done} enhanced images into {test_save_path} "
+              f"({time.time() - start_time:.1f}s) ===")
+
+        if args.is_test_nima:
+            nima_path = os.path.join(args.save_root_dir, "nima_test_results")
+            curr = calc_nima(test_save_path, nima_path, tag,
+                             weights_path=args.nima_weights, legacy_average=args.legacy_metrics)
+            print(f"====== Avg. NIMA: {curr:>.4f} ======")
+        if args.is_test_psnr_ssim:
+            psnr_path = os.path.join(args.save_root_dir, "psnr_test_results")
+            curr = calc_psnr(test_save_path, args.test_label_dir, psnr_path, tag,
+                             legacy_average=args.legacy_metrics)
+            print(f"====== Avg. PSNR: {curr:>.4f} dB ======")
+            ssim_path = os.path.join(args.save_root_dir, "ssim_test_results")
+            curr = calc_ssim(test_save_path, args.test_label_dir, ssim_path, tag,
+                             legacy_average=args.legacy_metrics)
+            print(f"====== Avg. SSIM: {curr:>.4f}  ======")

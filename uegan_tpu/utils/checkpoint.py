@@ -1,0 +1,69 @@
+"""Checkpointing with the reference's logical schema, on orbax.
+
+Reference checkpoints are epoch-granular 7-key dicts
+{G_net, D_net, epoch, g_optimizer, d_optimizer, lr_scheduler_g,
+lr_scheduler_d} named ``{version}_{adv_loss_type}_{epoch}.pth``
+(reference: trainer.py:186-208); resume restores everything and recomputes
+the start step (trainer.py:60-64,402-423).  Here a checkpoint directory
+``{version}_{adv_loss_type}_{epoch}/`` holds the full TrainState pytree
+(params, optimizer states, SN u/v, running stats, image pool, PRNG key) plus
+the config JSON — scheduler state needs no storage because the LR is a pure
+function of the step counter.
+
+Torch ``.pth`` checkpoints published for the reference convert via
+:mod:`uegan_tpu.convert.torch_import`.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+from uegan_tpu.config import Config
+
+
+def ckpt_name(version: str, adv_loss_type: str, epoch) -> str:
+    return f"{version}_{adv_loss_type}_{Config.epoch_tag(epoch)}"
+
+
+class CheckpointManager:
+    def __init__(self, model_save_path: str, config: Config):
+        self.root = os.path.abspath(model_save_path)
+        os.makedirs(self.root, exist_ok=True)
+        self.config = config
+        self._ckptr = ocp.StandardCheckpointer()
+
+    def path(self, epoch) -> str:
+        return os.path.join(self.root, ckpt_name(self.config.version, self.config.adv_loss_type, epoch))
+
+    def save(self, state: Any, epoch) -> str:
+        path = self.path(epoch)
+        self._ckptr.save(path, state, force=True)
+        with open(path + ".config.json", "w") as f:
+            f.write(self.config.to_json())
+        self._ckptr.wait_until_finished()
+        return path
+
+    def restore(self, state_template: Any, epoch) -> Any:
+        path = self.path(epoch)
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"checkpoint not found: {path}")
+        abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, state_template)
+        return self._ckptr.restore(path, abstract)
+
+    def latest_epoch(self) -> Optional[str]:
+        prefix = f"{self.config.version}_{self.config.adv_loss_type}_"
+        epochs = []
+        for name in os.listdir(self.root):
+            if name.startswith(prefix) and not name.endswith(".json"):
+                tag = name[len(prefix):]
+                try:
+                    epochs.append(float(tag))
+                except ValueError:
+                    continue
+        if not epochs:
+            return None
+        return Config.epoch_tag(max(epochs))

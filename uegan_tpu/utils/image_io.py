@@ -1,0 +1,38 @@
+"""PNG image IO with torchvision ``save_image`` semantics.
+
+The reference saves [0,1] tensors via ``torchvision.utils.save_image``
+(reference: trainer.py:180-183, tester.py:69-74), which maps to uint8 with
+``round(x*255)`` after clamping.  The 8-bit PNG round-trip is part of the
+reference's measured metric protocol (SURVEY.md §3.3), so quantization here
+must match exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+from PIL import Image
+
+
+def to_uint8(img01: np.ndarray) -> np.ndarray:
+    """[0,1] float -> uint8 with torchvision save_image rounding."""
+    arr = np.asarray(img01, dtype=np.float32)
+    return np.clip(np.rint(arr * 255.0), 0, 255).astype(np.uint8)
+
+
+def save_image(img01: np.ndarray, path: str) -> None:
+    """Save a single HWC [0,1] image as PNG."""
+    Image.fromarray(to_uint8(img01)).save(path, format="PNG")
+
+
+def save_image_grid(imgs01: Sequence[np.ndarray], path: str, axis: int = 1) -> None:
+    """Concatenate HWC images along width (axis=1) and save — the reference's
+    side-by-side compare panels (reference: trainer.py:182, tester.py:73)."""
+    grid = np.concatenate([np.asarray(i) for i in imgs01], axis=axis)
+    save_image(grid, path)
+
+
+def load_image(path: str) -> np.ndarray:
+    """PNG -> HWC float32 [0,1]."""
+    return np.asarray(Image.open(path).convert("RGB"), dtype=np.float32) / 255.0

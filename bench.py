@@ -7,8 +7,13 @@ Baseline: the reference publishes no speed numbers (BASELINE.md) — its
 north-star is ">=5x A100-PyTorch images/sec at 512px FiveK inference".  The
 A100 PyTorch number is not measurable here (no GPU); we anchor on an
 estimated 120 images/s for the reference fp32 PyTorch generator at 512px on
-one A100 (≈68 GFLOPs/image, ~25% utilization at TF32 plus the reference's
+one A100 (≈68 GFLOPs/image at ~25% TF32 utilization, plus the reference's
 per-image python save loop).  ``vs_baseline`` = ours / 120.
+
+Measurement notes: on the axon-tunneled TPU, ``block_until_ready`` does not
+reliably fence remote execution, so completion is forced by fetching a
+corner of the final output; the first device->host fetch per process pays a
+one-time tunnel handshake and happens during warmup.
 """
 
 from __future__ import annotations
@@ -17,15 +22,26 @@ import json
 import time
 
 A100_PYTORCH_IMG_PER_SEC_EST = 120.0
-BATCH = 8
+BATCH = 32
 HW = 512
 WARMUP = 3
 ITERS = 10
 
 
 def main() -> None:
+    import os
+
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
+
     import jax
     import jax.numpy as jnp
+    import numpy as np
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_uegan")
+    except Exception:
+        pass
 
     from uegan_tpu.config import Config
     from uegan_tpu.train.state import create_train_state
@@ -33,14 +49,22 @@ def main() -> None:
 
     cfg = Config(compute_dtype="bfloat16")
     state, bundle = create_train_state(cfg, jax.random.PRNGKey(0), (HW, HW), steps_per_epoch=1)
+    dev = jax.devices()[0]
+    state = jax.device_put(state, dev)
     eval_fn = jax.jit(make_eval_step(bundle))
 
-    x = jax.random.uniform(jax.random.PRNGKey(1), (BATCH, HW, HW, 3), minval=-1.0, maxval=1.0)
+    x = jax.device_put(
+        np.random.default_rng(0).uniform(-1, 1, (BATCH, HW, HW, 3)).astype(np.float32), dev
+    )
+    r = None
     for _ in range(WARMUP):
-        eval_fn(state.g_params, state.g_extra, x).block_until_ready()
+        r = eval_fn(state.g_params, state.g_extra, x)
+    _ = np.asarray(r[0, :1, :1, 0])  # pays the one-time fetch handshake
+
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        eval_fn(state.g_params, state.g_extra, x).block_until_ready()
+        r = eval_fn(state.g_params, state.g_extra, x)
+    _ = np.asarray(r[0, :1, :1, 0])  # force completion of the chain
     dt = time.perf_counter() - t0
     ips = BATCH * ITERS / dt
 

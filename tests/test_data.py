@@ -1,0 +1,72 @@
+"""Input-pipeline tests on generated PNG fixtures."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from uegan_tpu.data.dataset import PairedImageDataset
+from uegan_tpu.data.pipeline import get_test_loader, get_train_loader, InputFetcher
+
+
+@pytest.fixture(scope="module")
+def fivek_dir(tmp_path_factory):
+    """Synthetic FiveK layout: train/{exp,raw} with 5 images each."""
+    root = tmp_path_factory.mktemp("fivek")
+    rng = np.random.default_rng(0)
+    for split, doms, n, hw in (("train", ("exp", "raw"), 5, 96), ("val", ("label", "raw"), 3, 64)):
+        for d in doms:
+            (root / split / d).mkdir(parents=True)
+            for i in range(n):
+                arr = rng.integers(0, 255, (hw, hw + 16, 3), dtype=np.uint8)
+                Image.fromarray(arr).save(root / split / d / f"img{i:02d}.png")
+    return root
+
+
+def test_dataset_pairing(fivek_dir):
+    ds = PairedImageDataset(fivek_dir / "train")
+    assert len(ds) == 5
+    # domain order alphabetical: exp (idx0) first, raw (idx1) second
+    f1, f2 = ds.samples[0]
+    assert "exp" in str(f1) and "raw" in str(f2)
+    assert ds.name(0) == "img00"  # stem of the raw file
+
+
+def test_train_loader_shapes_and_range(fivek_dir):
+    loader = get_train_loader(fivek_dir / "train", img_size=64, resize_size=32, batch_size=2, num_workers=1)
+    assert len(loader) == 2  # 5 // 2 with drop_last
+    batch = next(iter(loader))
+    assert batch["img_exp"].shape == (2, 32, 32, 3)
+    assert batch["img_raw"].shape == (2, 32, 32, 3)
+    assert batch["img_raw"].min() >= -1.0 and batch["img_raw"].max() <= 1.0
+    assert len(batch["img_name"]) == 2
+
+
+def test_train_loader_deterministic(fivek_dir):
+    mk = lambda: get_train_loader(fivek_dir / "train", img_size=64, resize_size=32, batch_size=2, seed=7, num_workers=1)
+    b1 = next(iter(mk()))
+    b2 = next(iter(mk()))
+    np.testing.assert_array_equal(b1["img_raw"], b2["img_raw"])
+    assert b1["img_name"] == b2["img_name"]
+
+
+def test_train_loader_epochs_differ(fivek_dir):
+    loader = get_train_loader(fivek_dir / "train", img_size=64, resize_size=32, batch_size=2, seed=7, num_workers=1)
+    e1 = [b["img_raw"].copy() for b in loader]  # epoch 0
+    e2 = [b["img_raw"].copy() for b in loader]  # epoch 1
+    assert not all(np.array_equal(a, b) for a, b in zip(e1, e2))
+
+
+def test_test_loader_no_drop_resize(fivek_dir):
+    loader = get_test_loader(fivek_dir / "val", img_size=32, batch_size=2, num_workers=1)
+    batches = list(loader)
+    assert sum(b["img_raw"].shape[0] for b in batches) == 3  # no drop_last
+    assert all(b["img_raw"].shape[1:] == (32, 32, 3) for b in batches)
+
+
+def test_input_fetcher_wraps_infinitely(fivek_dir):
+    loader = get_train_loader(fivek_dir / "train", img_size=64, resize_size=32, batch_size=2, num_workers=1)
+    fetcher = InputFetcher(loader)
+    seen = [next(fetcher) for _ in range(5)]  # > 2 batches/epoch → wraps
+    assert all(s["img_raw"].shape == (2, 32, 32, 3) for s in seen)

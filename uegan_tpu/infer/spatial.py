@@ -1,0 +1,36 @@
+"""GSPMD spatially-sharded high-res inference (BASELINE config #5).
+
+A 2048px image is sharded row-wise across the mesh; XLA inserts halo
+exchanges for every conv receptive field and global reductions for GAM's
+mean/std and the align-corners resize matmuls — the spatial analog of
+ring/context parallelism for sequence models (SURVEY.md §5).  No manual
+collectives; correctness is bit-identical to single-device execution (modulo
+reduction order), unlike the tile/stitch approximation.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+
+from uegan_tpu.parallel.sharding import replicated, spatial_sharding
+
+
+def make_spatial_enhancer(bundle, mesh) -> Callable:
+    """Jitted G forward with image H sharded over all mesh devices."""
+    from uegan_tpu.train.step import make_eval_step
+
+    eval_fn = make_eval_step(bundle)
+    rep = replicated(mesh)
+    sp = spatial_sharding(mesh)
+    return jax.jit(eval_fn, in_shardings=(rep, rep, sp), out_shardings=sp)
+
+
+def enhance_spatial_sharded(bundle, mesh, g_params, g_extra, image_nhwc):
+    """Enhance an NHWC batch with spatial sharding; returns device array."""
+    fn = make_spatial_enhancer(bundle, mesh)
+    img = jax.device_put(image_nhwc, spatial_sharding(mesh))
+    params = jax.device_put(g_params, replicated(mesh))
+    extra = jax.device_put(g_extra, replicated(mesh))
+    return fn(params, extra, img)

@@ -57,12 +57,15 @@ def conv2d_nhwc(
     dilation: int = 1,
     dtype: Dtype = jnp.float32,
 ) -> jnp.ndarray:
-    """VALID conv, NHWC x HWIO, float32 MXU accumulation; returns float32.
+    """VALID conv, NHWC x HWIO; returns ``dtype``.
 
-    In float32 mode the MXU needs HIGHEST precision or it silently truncates
-    inputs to bf16; in bfloat16 mode DEFAULT is exactly what we want.
+    float32 mode: HIGHEST precision (the MXU otherwise silently truncates
+    inputs to bf16) with f32 output.  bfloat16 mode: bf16 in/out — the MXU
+    accumulates in f32 internally, and keeping the *output* bf16 keeps
+    cotangents bf16 too (an f32 ``preferred_element_type`` makes the conv
+    transpose see an f32 cotangent against a bf16 kernel and fail).
     """
-    prec = lax.Precision.HIGHEST if dtype == jnp.float32 else lax.Precision.DEFAULT
+    f32 = dtype == jnp.float32
     y = lax.conv_general_dilated(
         x.astype(dtype),
         kernel.astype(dtype),
@@ -70,8 +73,8 @@ def conv2d_nhwc(
         padding="VALID",
         rhs_dilation=(dilation, dilation),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
-        precision=prec,
+        preferred_element_type=jnp.float32 if f32 else None,
+        precision=lax.Precision.HIGHEST if f32 else lax.Precision.DEFAULT,
     )
     return y
 
@@ -118,7 +121,7 @@ class SNConv(nn.Module):
         y = conv2d_nhwc(x, w, self.stride, self.dilation, self.dtype)
         if self.use_bias:
             b = self.param("bias", jax.nn.initializers.zeros, (self.features,), self.param_dtype)
-            y = y + b.astype(jnp.float32)
+            y = y + b.astype(y.dtype)
         return y.astype(self.dtype)
 
 

@@ -58,7 +58,7 @@ class _ConvBN(nn.Module):
             (k, k, cin // self.groups, self.features),
             self.param_dtype,
         )
-        prec = lax.Precision.HIGHEST if self.dtype == jnp.float32 else lax.Precision.DEFAULT
+        f32 = self.dtype == jnp.float32
         y = lax.conv_general_dilated(
             x.astype(self.dtype),
             kernel.astype(self.dtype),
@@ -66,8 +66,8 @@ class _ConvBN(nn.Module):
             padding=((pad, pad), (pad, pad)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             feature_group_count=self.groups,
-            preferred_element_type=jnp.float32,
-            precision=prec,
+            preferred_element_type=jnp.float32 if f32 else None,
+            precision=lax.Precision.HIGHEST if f32 else lax.Precision.DEFAULT,
         )
         y = nn.BatchNorm(
             use_running_average=not train,

@@ -97,19 +97,17 @@ class VGG19Features(nn.Module):
             bias = self.param(
                 f"{name}_bias", jax.nn.initializers.zeros, (feats,), self.param_dtype
             )
-            prec = (
-                lax.Precision.HIGHEST if self.dtype == jnp.float32 else lax.Precision.DEFAULT
-            )
+            f32 = self.dtype == jnp.float32
             h = lax.conv_general_dilated(
                 h,
                 kernel.astype(self.dtype),
                 window_strides=(1, 1),
                 padding="SAME",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=jnp.float32,
-                precision=prec,
+                preferred_element_type=jnp.float32 if f32 else None,
+                precision=lax.Precision.HIGHEST if f32 else lax.Precision.DEFAULT,
             )
-            h = (h + bias.astype(jnp.float32)).astype(self.dtype)
+            h = (h + bias.astype(h.dtype)).astype(self.dtype)
             h = nn.relu(h)
             tap = "relu" + name[4:]
             if tap in self.taps:

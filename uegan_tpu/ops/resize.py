@@ -20,12 +20,16 @@ import numpy as np
 
 
 @functools.lru_cache(maxsize=64)
-def _interp_matrix(in_size: int, out_size: int, align_corners: bool, dtype_name: str):
-    """Row-interpolation matrix M of shape (out_size, in_size): out = M @ in."""
+def _interp_matrix_np(in_size: int, out_size: int, align_corners: bool) -> np.ndarray:
+    """Row-interpolation matrix M of shape (out_size, in_size): out = M @ in.
+
+    Cached as NUMPY only — caching a jnp array here would capture a tracer
+    when first built inside a jit trace and leak it into later traces.
+    """
     m = np.zeros((out_size, in_size), dtype=np.float64)
     if in_size == 1:
         m[:, 0] = 1.0
-        return jnp.asarray(m, dtype=jnp.dtype(dtype_name))
+        return m.astype(np.float32)
     if align_corners and out_size > 1:
         src = np.arange(out_size, dtype=np.float64) * (in_size - 1) / (out_size - 1)
     else:
@@ -37,7 +41,7 @@ def _interp_matrix(in_size: int, out_size: int, align_corners: bool, dtype_name:
     frac = src - lo
     m[np.arange(out_size), lo] += 1.0 - frac
     m[np.arange(out_size), hi] += frac
-    return jnp.asarray(m, dtype=jnp.dtype(dtype_name))
+    return m.astype(np.float32)
 
 
 def resize_bilinear_align_corners(
@@ -52,8 +56,8 @@ def resize_bilinear_align_corners(
     if h == out_h and w == out_w:
         return x
     acc = jnp.float32 if x.dtype == jnp.float32 else x.dtype
-    mh = _interp_matrix(h, out_h, align_corners, jnp.dtype(acc).name)
-    mw = _interp_matrix(w, out_w, align_corners, jnp.dtype(acc).name)
+    mh = jnp.asarray(_interp_matrix_np(h, out_h, align_corners), dtype=acc)
+    mw = jnp.asarray(_interp_matrix_np(w, out_w, align_corners), dtype=acc)
     # (N,H,W,C): rows then cols, both ride the MXU.  float32 inputs need
     # HIGHEST precision or the TPU MXU silently truncates to bf16 multiplies.
     prec = jax.lax.Precision.HIGHEST if acc == jnp.float32 else jax.lax.Precision.DEFAULT

@@ -1,0 +1,175 @@
+"""HTTP scoring/enhancement service.
+
+Capability parity with the vendored nima package's Flask+gunicorn scorer
+(reference: metrics/NIMA/nima/nima/inference/app.py:8-79 — POST an image,
+get aesthetic scores back).  Flask is not in this image, so this is a
+stdlib ``http.server`` implementation; model forwards are jitted and batched
+per request.
+
+Endpoints:
+- ``GET  /``                 service info (JSON)
+- ``POST /api/get_scores``   body = raw image bytes -> NIMA mean/std + the
+                             full 10-bucket distribution
+- ``POST /api/enhance``      body = raw image bytes -> enhanced PNG bytes
+                             (requires a generator checkpoint)
+
+Run:  python -m uegan_tpu.serve.app --port 5000 [--nima_weights p.pth]
+          [--generator_ckpt results/UEGAN-FiveK/models/... --platform cpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+from PIL import Image
+
+
+class _Models:
+    """Lazily-built jitted model handles shared across requests."""
+
+    def __init__(self, nima_weights: str = "", generator_ckpt: str = "", test_img_size: int = 512):
+        self._lock = threading.Lock()
+        self.nima_weights = nima_weights
+        self.generator_ckpt = generator_ckpt
+        self.test_img_size = test_img_size
+        self._nima = None
+        self._enhancer = None
+
+    def nima_score(self, image: Image.Image):
+        import jax
+        import jax.numpy as jnp
+
+        from uegan_tpu.metrics.nima import init_nima, prepare_image_np
+        from uegan_tpu.models.nima import score_stats
+
+        with self._lock:
+            if self._nima is None:
+                model, variables = init_nima(self.nima_weights)
+                self._nima = jax.jit(lambda b: model.apply(variables, b, train=False))
+        probs = np.asarray(self._nima(jnp.asarray(prepare_image_np(image)[None])))[0]
+        buckets = np.arange(1, 11, dtype=np.float64)
+        mean = float((probs * buckets).sum())
+        std = float(np.sqrt((probs * (buckets - mean) ** 2).sum()))
+        return {
+            "mean_score": round(mean, 6),
+            "std_score": round(std, 6),
+            "scores": [round(float(s), 6) for s in probs],
+        }
+
+    def enhance(self, image: Image.Image) -> bytes:
+        import jax
+        import jax.numpy as jnp
+
+        with self._lock:
+            if self._enhancer is None:
+                from uegan_tpu.config import Config
+                from uegan_tpu.train.state import create_train_state
+                from uegan_tpu.train.step import make_eval_step
+
+                cfg = Config()
+                state, bundle = create_train_state(
+                    cfg, jax.random.PRNGKey(0), (self.test_img_size, self.test_img_size), 1
+                )
+                if self.generator_ckpt:
+                    from uegan_tpu.convert.torch_import import import_uegan_checkpoint
+
+                    if self.generator_ckpt.endswith(".pth"):
+                        conv = import_uegan_checkpoint(self.generator_ckpt)
+                        cast = lambda new, old: jnp.asarray(new, old.dtype)
+                        state = state.replace(
+                            g_params=jax.tree_util.tree_map(
+                                cast, conv["g_vars"]["params"], state.g_params
+                            )
+                        )
+                self._enhancer = (jax.jit(make_eval_step(bundle)), state)
+        fn, state = self._enhancer
+        s = self.test_img_size
+        arr = np.asarray(image.convert("RGB").resize((s, s), Image.BILINEAR), np.float32)
+        x = (arr / 255.0 - 0.5) / 0.5
+        out = np.asarray(fn(state.g_params, state.g_extra, jnp.asarray(x[None])))[0]
+        out01 = np.clip((out + 1.0) / 2.0, 0, 1)
+        buf = io.BytesIO()
+        Image.fromarray(np.clip(np.rint(out01 * 255), 0, 255).astype(np.uint8)).save(buf, "PNG")
+        return buf.getvalue()
+
+
+def create_server(host: str = "0.0.0.0", port: int = 5000, **model_kw) -> ThreadingHTTPServer:
+    models = _Models(**model_kw)
+
+    class Handler(BaseHTTPRequestHandler):
+        def _json(self, code: int, obj) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path in ("/", "/info"):
+                self._json(200, {
+                    "service": "uegan_tpu",
+                    "endpoints": ["/api/get_scores", "/api/enhance"],
+                })
+            else:
+                self._json(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path not in ("/api/get_scores", "/api/enhance"):
+                self._json(404, {"error": "not found"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                data = self.rfile.read(length)
+                image = Image.open(io.BytesIO(data))
+            except Exception as e:  # bad/absent image
+                self._json(400, {"error": f"invalid image: {e}"})
+                return
+            try:
+                if self.path == "/api/get_scores":
+                    self._json(200, models.nima_score(image))
+                elif self.path == "/api/enhance":
+                    png = models.enhance(image)
+                    self.send_response(200)
+                    self.send_header("Content-Type", "image/png")
+                    self.send_header("Content-Length", str(len(png)))
+                    self.end_headers()
+                    self.wfile.write(png)
+                else:
+                    self._json(404, {"error": "not found"})
+            except Exception as e:
+                self._json(500, {"error": str(e)})
+
+        def log_message(self, fmt, *args):  # quiet
+            pass
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def run_server(host="0.0.0.0", port=5000, **model_kw) -> None:
+    srv = create_server(host, port, **model_kw)
+    print(f"uegan_tpu serving on {host}:{port}")
+    srv.serve_forever()
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=5000)
+    p.add_argument("--nima_weights", default="")
+    p.add_argument("--generator_ckpt", default="")
+    p.add_argument("--test_img_size", type=int, default=512)
+    p.add_argument("--platform", default="")
+    a = p.parse_args()
+    if a.platform:
+        import jax
+
+        jax.config.update("jax_platforms", a.platform)
+    run_server(a.host, a.port, nima_weights=a.nima_weights,
+               generator_ckpt=a.generator_ckpt, test_img_size=a.test_img_size)

@@ -101,16 +101,28 @@ def create_train_state(
     steps_per_epoch: int,
     vgg_vars: Any = None,
 ) -> Tuple[TrainState, ModelBundle]:
+    import contextlib
+
     g_model, d_model, vgg_model = build_models(config)
     h, w = image_hw
     # param shapes are resolution-independent (fully convolutional), so init
     # at 32x32 regardless of the training resolution — much cheaper to trace.
     dummy = jnp.zeros((1, 32, 32, 3), jnp.float32)
     k_g, k_d, k_vgg, k_state = jax.random.split(rng, 4)
-    g_vars = g_model.init(k_g, dummy, train=False, update_sn=False)
-    d_vars = d_model.init(k_d, dummy, train=False, update_sn=False)
-    if vgg_vars is None:
-        vgg_vars = vgg_model.init(k_vgg, dummy)
+    # Initialize on CPU: init is thousands of small ops, and dispatching them
+    # one-by-one over a remote-TPU tunnel is pathologically slow (measured
+    # ~6 minutes vs seconds).  The state moves to the accelerator in one
+    # device_put by the caller.
+    try:
+        cpu0 = jax.local_devices(backend="cpu")[0]
+        ctx = jax.default_device(cpu0)
+    except RuntimeError:
+        ctx = contextlib.nullcontext()
+    with ctx:
+        g_vars = g_model.init(k_g, dummy, train=False, update_sn=False)
+        d_vars = d_model.init(k_d, dummy, train=False, update_sn=False)
+        if vgg_vars is None:
+            vgg_vars = vgg_model.init(k_vgg, dummy)
     g_params, g_extra = split_collections(g_vars)
     d_params, d_extra = split_collections(d_vars)
 

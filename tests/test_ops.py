@@ -46,6 +46,14 @@ def test_upsample_align_corners_matches_torch(rng, shape, out):
     np.testing.assert_allclose(np.asarray(ours), theirs, rtol=1e-5, atol=1e-5)
 
 
+def test_resize_gather_path_matches_torch(rng):
+    """Outputs > 1024 take the gather+lerp path — same torch parity."""
+    x = rng.standard_normal((1, 8, 6, 2)).astype(np.float32)
+    ours = resize_bilinear_align_corners(jnp.asarray(x), 1030, 12, align_corners=True)
+    theirs = nhwc(F.interpolate(nchw(x), size=(1030, 12), mode="bilinear", align_corners=True))
+    np.testing.assert_allclose(np.asarray(ours), theirs, rtol=1e-5, atol=1e-5)
+
+
 def test_resize_half_pixel_matches_torch(rng):
     x = rng.standard_normal((1, 12, 10, 3)).astype(np.float32)
     ours = resize_bilinear_align_corners(jnp.asarray(x), 7, 5, align_corners=False)

@@ -21,6 +21,19 @@ from PIL import Image
 from uegan_tpu.data.files import list_image_files
 
 
+class DefaultDataset:
+    """Single-domain image dataset (reference: data_loader.py:21-36)."""
+
+    def __init__(self, root):
+        self.samples = sorted(list_image_files(root))
+
+    def __len__(self) -> int:
+        return len(self.samples)
+
+    def load(self, index: int) -> Image.Image:
+        return Image.open(self.samples[index]).convert("RGB")
+
+
 class PairedImageDataset:
     def __init__(self, root):
         self.root = str(root)

@@ -204,6 +204,16 @@ def get_test_loader(
     )
 
 
+class Batch(dict):
+    """Dict with attribute access — the Munch contract of the reference
+    fetcher outputs (reference: data_loader.py:127: inputs.img_raw etc.)."""
+
+    __getattr__ = dict.__getitem__
+
+    def __setattr__(self, k, v):
+        self[k] = v
+
+
 class InputFetcher:
     """Infinite iterator over a loader, optionally device-putting with a sharding.
 
@@ -225,7 +235,7 @@ class InputFetcher:
         except (AttributeError, StopIteration, TypeError):
             self._it = iter(self.loader)
             batch = next(self._it)
-        out = dict(batch)
+        out = Batch(batch)
         if self.sharding is not None:
             out["img_exp"] = jax.device_put(batch["img_exp"], self.sharding)
             out["img_raw"] = jax.device_put(batch["img_raw"], self.sharding)

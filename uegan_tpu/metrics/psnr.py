@@ -52,6 +52,12 @@ def _imread_01(path: str) -> np.ndarray:
     return img.astype(np.float64) / 255.0
 
 
+def bgr_to_y(img01: np.ndarray) -> np.ndarray:
+    """MATLAB rgb2ycbcr Y channel for [0,1] float BGR input
+    (reference: metrics/CalcPSNR.py:139-160, only_y path)."""
+    return (img01 @ np.asarray([24.966, 128.553, 65.481])) / 255.0 + 16.0 / 255.0
+
+
 def calc_psnr(
     folder_gen: str,
     folder_gt: str,
@@ -59,6 +65,7 @@ def calc_psnr(
     epoch,
     crop_border: int = 4,
     legacy_average: bool = False,
+    test_y: bool = False,
     verbose: bool = True,
 ) -> float:
     os.makedirs(result_save_path, exist_ok=True)
@@ -74,6 +81,8 @@ def calc_psnr(
             gen = _imread_01(img_path)
             gt_name = gt_name_from_generated(img_path)
             gt = _imread_01(os.path.join(folder_gt, gt_name))
+            if test_y:  # Y-channel mode (off by default, as in the reference)
+                gen, gt = bgr_to_y(gen), bgr_to_y(gt)
             c = crop_border
             gen_c, gt_c = gen[c:-c, c:-c], gt[c:-c, c:-c]
             mse = np.mean((gt_c * 255.0 - gen_c * 255.0) ** 2, dtype=np.float64)

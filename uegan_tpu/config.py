@@ -126,6 +126,8 @@ class Config:
     nima_weights: str = ""  # optional NIMA .pth for conversion
     tile_size: int = 0  # >0: overlap-tile inference tile edge (single device)
     tile_overlap: int = 32
+    remat: bool = False  # rematerialize conv blocks (512px training memory)
+    cache_data: bool = False  # RAM-cache decoded images (small datasets)
     test_keep_aspect: bool = False  # keep native resolution (pad to /16)
     profile_dir: str = ""  # jax.profiler trace output
     checkpoint_async: bool = True

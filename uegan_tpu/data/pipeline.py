@@ -86,6 +86,7 @@ class _Loader:
         seed: int = 1990,
         num_threads: int = 4,
         prefetch: int = 2,
+        cache_decoded: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -98,6 +99,10 @@ class _Loader:
         self.num_threads = max(1, num_threads)
         self.prefetch = prefetch
         self.epoch = 0
+        # opt-in RAM cache of decoded images (PNG decode dominates on weak
+        # hosts; FiveK-sized sets need tens of GB — caller's choice)
+        self.cache_decoded = cache_decoded
+        self._cache: Dict[int, tuple] = {}
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -112,7 +117,14 @@ class _Loader:
         return idx
 
     def _load_item(self, index: int, epoch: int) -> Dict:
-        img1, img2, name = self.dataset.load_pair(index)
+        if self.cache_decoded and index in self._cache:
+            a1u, a2u, name = self._cache[index]
+            img1 = Image.fromarray(a1u)
+            img2 = Image.fromarray(a2u)
+        else:
+            img1, img2, name = self.dataset.load_pair(index)
+            if self.cache_decoded:
+                self._cache[index] = (np.asarray(img1), np.asarray(img2), name)
         if self.train:
             r1 = np.random.default_rng((self.seed, epoch, index, 0))
             r2 = np.random.default_rng((self.seed, epoch, index, 1))
@@ -134,18 +146,21 @@ class _Loader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        from concurrent.futures import ThreadPoolExecutor
+
         def producer():
             try:
-                for b in batches:
-                    if stop.is_set():
-                        return
-                    items = [self._load_item(int(i), epoch) for i in b]
-                    batch = {
-                        "img_exp": np.stack([it["exp"] for it in items]),
-                        "img_raw": np.stack([it["raw"] for it in items]),
-                        "img_name": [it["name"] for it in items],
-                    }
-                    q.put(batch)
+                with ThreadPoolExecutor(max_workers=self.num_threads) as pool:
+                    for b in batches:
+                        if stop.is_set():
+                            return
+                        items = list(pool.map(lambda i: self._load_item(int(i), epoch), b))
+                        batch = {
+                            "img_exp": np.stack([it["exp"] for it in items]),
+                            "img_raw": np.stack([it["raw"] for it in items]),
+                            "img_name": [it["name"] for it in items],
+                        }
+                        q.put(batch)
             finally:
                 q.put(None)
 
@@ -170,6 +185,7 @@ def get_train_loader(
     num_workers: int = 8,
     drop_last: bool = True,
     seed: int = 1990,
+    cache_decoded: bool = False,
 ) -> _Loader:
     return _Loader(
         PairedImageDataset(root),
@@ -181,6 +197,7 @@ def get_train_loader(
         drop_last=drop_last,
         seed=seed,
         num_threads=num_workers,
+        cache_decoded=cache_decoded,
     )
 
 

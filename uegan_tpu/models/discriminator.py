@@ -26,6 +26,7 @@ class Discriminator(nn.Module):
     act_fun: str = "LeakyReLU"
     use_sn: bool = True
     adv_loss_type: str = "rahinge"
+    remat: bool = False
     kernel_init: Optional[Callable] = None
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
@@ -44,8 +45,9 @@ class Discriminator(nn.Module):
         ]
         preds = []
         h = x
+        block_cls = nn.remat(ConvBlock, static_argnums=(2, 3)) if self.remat else ConvBlock
         for i, (feat, k) in enumerate(stage_cfg, start=1):
-            h = ConvBlock(
+            h = block_cls(
                 features=feat,
                 kernel_size=k,
                 stride=2,
@@ -57,7 +59,7 @@ class Discriminator(nn.Module):
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name=f"d{i}",
-            )(h, train=train, update_sn=update_sn)
+            )(h, train, update_sn)
             preds.append(
                 PredConvBlock(
                     kernel_size=k,

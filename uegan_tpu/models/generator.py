@@ -31,12 +31,14 @@ class Generator(nn.Module):
     norm_fun: str = "none"
     act_fun: str = "LeakyReLU"
     use_sn: bool = False
+    remat: bool = False  # rematerialize conv blocks (trades FLOPs for HBM)
     kernel_init: Optional[Callable] = None
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
     def _block(self, features: int, k: int, s: int, name: str) -> ConvBlock:
-        return ConvBlock(
+        cls = nn.remat(ConvBlock, static_argnums=(2, 3)) if self.remat else ConvBlock
+        return cls(
             features=features,
             kernel_size=k,
             stride=s,
@@ -79,32 +81,32 @@ class Generator(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True, update_sn: bool = True) -> jnp.ndarray:
         cd = self.conv_dim
-        kw = dict(train=train, update_sn=update_sn)
 
-        # encoder (reference: models.py:16-20,46-50)
-        x1 = self._block(cd * 1, 7, 1, "enc1")(x, **kw)
-        x2 = self._block(cd * 2, 3, 2, "enc2")(x1, **kw)
-        x3 = self._block(cd * 4, 3, 2, "enc3")(x2, **kw)
-        x4 = self._block(cd * 8, 3, 2, "enc4")(x3, **kw)
-        x5 = self._block(cd * 16, 3, 2, "enc5")(x4, **kw)
+        # encoder (reference: models.py:16-20,46-50); train/update_sn are
+        # positional so nn.remat can treat them as static
+        x1 = self._block(cd * 1, 7, 1, "enc1")(x, train, update_sn)
+        x2 = self._block(cd * 2, 3, 2, "enc2")(x1, train, update_sn)
+        x3 = self._block(cd * 4, 3, 2, "enc3")(x2, train, update_sn)
+        x4 = self._block(cd * 8, 3, 2, "enc4")(x3, train, update_sn)
+        x5 = self._block(cd * 16, 3, 2, "enc5")(x4, train, update_sn)
         x5 = self._gam(cd * 16, "ga5")(x5, update_sn=update_sn)
 
         # decoder (reference: models.py:23-31,54-68)
         y1 = self._up(cd * 8, "upsample1")(upsample2x_align_corners(x5), update_sn=update_sn)
         y1 = jnp.concatenate([y1, self._gam(cd * 8, "ga4")(x4, update_sn=update_sn)], axis=-1)
-        y1 = self._block(cd * 8, 3, 1, "dec1")(y1, **kw)
+        y1 = self._block(cd * 8, 3, 1, "dec1")(y1, train, update_sn)
 
         y2 = self._up(cd * 4, "upsample2")(upsample2x_align_corners(y1), update_sn=update_sn)
         y2 = jnp.concatenate([y2, self._gam(cd * 4, "ga3")(x3, update_sn=update_sn)], axis=-1)
-        y2 = self._block(cd * 4, 3, 1, "dec2")(y2, **kw)
+        y2 = self._block(cd * 4, 3, 1, "dec2")(y2, train, update_sn)
 
         y3 = self._up(cd * 2, "upsample3")(upsample2x_align_corners(y2), update_sn=update_sn)
         y3 = jnp.concatenate([y3, self._gam(cd * 2, "ga2")(x2, update_sn=update_sn)], axis=-1)
-        y3 = self._block(cd * 2, 3, 1, "dec3")(y3, **kw)
+        y3 = self._block(cd * 2, 3, 1, "dec3")(y3, train, update_sn)
 
         y4 = self._up(cd * 1, "upsample4")(upsample2x_align_corners(y3), update_sn=update_sn)
         y4 = jnp.concatenate([y4, self._gam(cd * 1, "ga1")(x1, update_sn=update_sn)], axis=-1)
-        y4 = self._block(cd * 1, 3, 1, "dec4")(y4, **kw)
+        y4 = self._block(cd * 1, 3, 1, "dec4")(y4, train, update_sn)
 
         # output head: modulation by the first feature map, then global
         # residual with clamp (reference: models.py:32-36,70-72)

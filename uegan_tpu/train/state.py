@@ -69,6 +69,7 @@ def build_models(config: Config) -> Tuple[Generator, Discriminator, VGG19Feature
         norm_fun=config.g_norm_fun,
         act_fun=config.g_act_fun,
         use_sn=config.g_use_sn,
+        remat=config.remat,
         kernel_init=kinit,
         dtype=dt,
         param_dtype=pt,
@@ -79,6 +80,7 @@ def build_models(config: Config) -> Tuple[Generator, Discriminator, VGG19Feature
         act_fun=config.d_act_fun,
         use_sn=config.d_use_sn,
         adv_loss_type=config.adv_loss_type,
+        remat=config.remat,
         kernel_init=kinit,
         dtype=dt,
         param_dtype=pt,
@@ -105,26 +107,6 @@ def create_train_state(
 
     g_model, d_model, vgg_model = build_models(config)
     h, w = image_hw
-    # param shapes are resolution-independent (fully convolutional), so init
-    # at 32x32 regardless of the training resolution — much cheaper to trace.
-    dummy = jnp.zeros((1, 32, 32, 3), jnp.float32)
-    k_g, k_d, k_vgg, k_state = jax.random.split(rng, 4)
-    # Initialize on CPU: init is thousands of small ops, and dispatching them
-    # one-by-one over a remote-TPU tunnel is pathologically slow (measured
-    # ~6 minutes vs seconds).  The state moves to the accelerator in one
-    # device_put by the caller.
-    try:
-        cpu0 = jax.local_devices(backend="cpu")[0]
-        ctx = jax.default_device(cpu0)
-    except RuntimeError:
-        ctx = contextlib.nullcontext()
-    with ctx:
-        g_vars = g_model.init(k_g, dummy, train=False, update_sn=False)
-        d_vars = d_model.init(k_d, dummy, train=False, update_sn=False)
-        if vgg_vars is None:
-            vgg_vars = vgg_model.init(k_vgg, dummy)
-    g_params, g_extra = split_collections(g_vars)
-    d_params, d_extra = split_collections(d_vars)
 
     g_tx = make_optimizer(
         config.optimizer_type, config.g_lr, steps_per_epoch,
@@ -139,17 +121,42 @@ def create_train_state(
         num_epochs_decay=config.lr_num_epochs_decay, decay_ratio=config.lr_decay_ratio,
     )
 
-    state = TrainState(
-        step=jnp.zeros((), jnp.int32),
-        g_params=g_params,
-        d_params=d_params,
-        g_extra=g_extra,
-        d_extra=d_extra,
-        g_opt=g_tx.init(g_params),
-        d_opt=d_tx.init(d_params),
-        pool=pool_init(config.pool_size, (h, w, 3)),
-        rng=k_state,
-    )
+    def _make_state(key):
+        # param shapes are resolution-independent (fully convolutional), so
+        # init at 32x32 regardless of the training resolution.
+        dummy = jnp.zeros((1, 32, 32, 3), jnp.float32)
+        k_g, k_d, k_vgg, k_state = jax.random.split(key, 4)
+        g_vars = g_model.init(k_g, dummy, train=False, update_sn=False)
+        d_vars = d_model.init(k_d, dummy, train=False, update_sn=False)
+        v_vars = vgg_model.init(k_vgg, dummy)
+        g_params, g_extra = split_collections(g_vars)
+        d_params, d_extra = split_collections(d_vars)
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            g_params=g_params,
+            d_params=d_params,
+            g_extra=g_extra,
+            d_extra=d_extra,
+            g_opt=g_tx.init(g_params),
+            d_opt=d_tx.init(d_params),
+            pool=pool_init(config.pool_size, (h, w, 3)),
+            rng=k_state,
+        )
+        return state, v_vars
+
+    # One jitted init program on CPU (persistently cacheable): eager init is
+    # thousands of tiny op dispatches — minutes on this host, and far worse
+    # when dispatched over a remote-TPU tunnel.  Callers device_put the state
+    # onto the mesh/chip in one transfer.
+    try:
+        cpu0 = jax.local_devices(backend="cpu")[0]
+        ctx = jax.default_device(cpu0)
+    except RuntimeError:
+        ctx = contextlib.nullcontext()
+    with ctx:
+        state, vgg_inited = jax.jit(_make_state)(rng)
+    if vgg_vars is None:
+        vgg_vars = vgg_inited
     bundle = ModelBundle(
         g_model=g_model,
         d_model=d_model,

@@ -65,6 +65,9 @@ class Tester:
         self.state, self.bundle = create_train_state(
             args, rng, (args.test_img_size, args.test_img_size), steps_per_epoch=1
         )
+        from uegan_tpu.parallel.sharding import replicated
+
+        self.state = jax.device_put(self.state, replicated(self.mesh))
         if args.is_print_network:
             for name, tree in (("Generator", self.state.g_params), ("Discriminator", self.state.d_params)):
                 n = count_params(tree)

@@ -113,9 +113,13 @@ class Trainer:
         self.val_start_steps = int(args.num_epochs_start_val * self.train_steps_per_epoch)
         self.val_each_steps = int(args.val_each_epochs * self.train_steps_per_epoch)
 
-        if args.pretrained_model:
-            start_step = int(args.pretrained_model * self.train_steps_per_epoch)
-            self.load_pretrained_model(args.pretrained_model)
+        resume_epoch = args.pretrained_model
+        if resume_epoch == -1:  # auto-resume from the newest checkpoint
+            latest = self.ckpt.latest_epoch()
+            resume_epoch = float(latest) if latest is not None else 0.0
+        if resume_epoch:
+            start_step = int(resume_epoch * self.train_steps_per_epoch)
+            self.load_pretrained_model(resume_epoch)
         else:
             start_step = 0
 

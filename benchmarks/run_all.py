@@ -1,0 +1,168 @@
+#!/usr/bin/env python
+"""Benchmark suite for the five BASELINE.json tracked configs.
+
+1. 512px test inference (img/s)
+2. batched NIMA eval (img/s)
+3. 256px training, batch 10, full loss stack (steps/s)
+4. 512px multi-scale-D training, data-parallel over the mesh (steps/s)
+5. 2048px tiled/spatially-sharded inference (img/s)
+
+Prints one JSON object per config plus a summary line.  ``bench.py`` at the
+repo root remains the single-line driver entry (config #1).
+
+Usage: python benchmarks/run_all.py [--skip 4,5] [--iters 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _force(x):
+    import numpy as np
+    import jax
+
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    return np.asarray(leaf[(0,) * leaf.ndim])
+
+
+def bench_inference(iters: int, hw: int = 512, batch: int = 32):
+    import jax
+    import numpy as np
+
+    from uegan_tpu.config import Config
+    from uegan_tpu.train.state import create_train_state
+    from uegan_tpu.train.step import make_eval_step
+
+    cfg = Config(compute_dtype="bfloat16")
+    state, bundle = create_train_state(cfg, jax.random.PRNGKey(0), (hw, hw), 1)
+    dev = jax.devices()[0]
+    state = jax.device_put(state, dev)
+    fn = jax.jit(make_eval_step(bundle))
+    x = jax.device_put(np.random.default_rng(0).uniform(-1, 1, (batch, hw, hw, 3)).astype("float32"), dev)
+    r = fn(state.g_params, state.g_extra, x)
+    _force(r)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r = fn(state.g_params, state.g_extra, x)
+    _force(r)
+    return batch * iters / (time.perf_counter() - t0)
+
+
+def bench_nima(iters: int, batch: int = 32):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from uegan_tpu.metrics.nima import init_nima, nima_scores
+
+    model, variables = init_nima()
+    dev = jax.devices()[0]
+    variables = jax.device_put(variables, dev)
+    fn = jax.jit(lambda b: nima_scores(model, variables, b))
+    x = jax.device_put(np.random.default_rng(0).random((batch, 224, 224, 3)).astype("float32"), dev)
+    r = fn(x)
+    _force(r)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r = fn(x)
+    _force(r)
+    return batch * iters / (time.perf_counter() - t0)
+
+
+def bench_train(iters: int, hw: int, batch: int, remat: bool = False):
+    import jax
+    import numpy as np
+
+    from uegan_tpu.config import Config
+    from uegan_tpu.train.state import create_train_state
+    from uegan_tpu.train.step import make_train_step
+    from uegan_tpu.parallel.mesh import make_mesh
+    from uegan_tpu.parallel.sharding import batch_sharding, replicated
+
+    cfg = Config(compute_dtype="bfloat16", train_batch_size=batch, remat=remat)
+    state, bundle = create_train_state(cfg, jax.random.PRNGKey(0), (hw, hw), 100)
+    mesh = make_mesh()
+    state = jax.device_put(state, replicated(mesh))
+    bshard = batch_sharding(mesh)
+    step = jax.jit(make_train_step(bundle), donate_argnums=(0,))
+    rng = np.random.default_rng(0)
+    raw = jax.device_put(rng.uniform(-1, 1, (batch, hw, hw, 3)).astype("float32"), bshard)
+    exp = jax.device_put(rng.uniform(-1, 1, (batch, hw, hw, 3)).astype("float32"), bshard)
+    state, m, _, _ = step(state, raw, exp)
+    _force(m)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m, _, _ = step(state, raw, exp)
+    _force(m)
+    return iters / (time.perf_counter() - t0)
+
+
+def bench_tiled(iters: int, hw: int = 2048, tile: int = 512):
+    import jax
+    import numpy as np
+
+    from uegan_tpu.config import Config
+    from uegan_tpu.infer.tiles import enhance_tiled
+    from uegan_tpu.train.state import create_train_state
+    from uegan_tpu.train.step import make_eval_step
+
+    cfg = Config(compute_dtype="bfloat16")
+    state, bundle = create_train_state(cfg, jax.random.PRNGKey(0), (tile, tile), 1)
+    dev = jax.devices()[0]
+    state = jax.device_put(state, dev)
+    fn = jax.jit(make_eval_step(bundle))
+    enhance = lambda b: np.asarray(fn(state.g_params, state.g_extra, b))
+    img = np.random.default_rng(0).uniform(-1, 1, (hw, hw, 3)).astype("float32")
+    enhance_tiled(enhance, img, tile=tile, overlap=32)  # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        enhance_tiled(enhance, img, tile=tile, overlap=32)
+    return iters / (time.perf_counter() - t0)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--skip", type=str, default="")
+    p.add_argument("--platform", type=str, default="")
+    args = p.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_uegan")
+
+    skip = {int(s) for s in args.skip.split(",") if s}
+    results = {}
+    if 1 not in skip:
+        results["1_inference_512px_img_per_s"] = round(bench_inference(args.iters), 2)
+        print(json.dumps({"config": 1, "img_per_s": results["1_inference_512px_img_per_s"]}), flush=True)
+    if 2 not in skip:
+        results["2_nima_eval_img_per_s"] = round(bench_nima(args.iters), 2)
+        print(json.dumps({"config": 2, "img_per_s": results["2_nima_eval_img_per_s"]}), flush=True)
+    if 3 not in skip:
+        results["3_train_256px_b10_steps_per_s"] = round(bench_train(args.iters, 256, 10), 3)
+        print(json.dumps({"config": 3, "steps_per_s": results["3_train_256px_b10_steps_per_s"]}), flush=True)
+    if 4 not in skip:
+        results["4_train_512px_dp_steps_per_s"] = round(
+            bench_train(max(2, args.iters // 2), 512, max(2, 2 * len(jax.devices())), remat=True), 3
+        )
+        print(json.dumps({"config": 4, "steps_per_s": results["4_train_512px_dp_steps_per_s"]}), flush=True)
+    if 5 not in skip:
+        results["5_tiled_2048px_img_per_s"] = round(bench_tiled(max(2, args.iters // 3)), 3)
+        print(json.dumps({"config": 5, "img_per_s": results["5_tiled_2048px_img_per_s"]}), flush=True)
+    print(json.dumps({"summary": results}))
+
+
+if __name__ == "__main__":
+    main()

@@ -27,13 +27,10 @@ def main(args: Config) -> None:
     from uegan_tpu.utils.seed import setup_seed
 
     setup_seed(args.seed)
+    # reference layout: results/<version>/<sub> (trainer.py:29-32, main.py:21-25)
     for sub in (args.model_save_path, args.sample_path, args.log_path,
                 args.val_result_path, args.test_result_path):
         create_folder(args.save_root_dir, args.version, sub)
-    # reference layout is results/<version>/<sub> (trainer.py:29-32)
-    for sub in (args.model_save_path, args.sample_path, args.log_path,
-                args.val_result_path, args.test_result_path):
-        os.makedirs(os.path.join(args.save_root_dir, args.version, sub), exist_ok=True)
 
     if args.mode == "train":
         from uegan_tpu.train.trainer import Trainer

@@ -35,6 +35,27 @@ def test_enhance_tiled_smaller_than_tile(rng):
     np.testing.assert_allclose(out, img * 0.5, rtol=1e-5)
 
 
+def test_device_tiled_matches_host_tiled(rng):
+    """On-device tile/stitch == host tile/stitch (same windows, one fetch)."""
+    import jax as _jax
+
+    from uegan_tpu.config import Config
+    from uegan_tpu.infer.tiles import make_device_tiled_enhancer
+    from uegan_tpu.train.state import create_train_state
+    from uegan_tpu.train.step import make_eval_step
+
+    cfg = Config(g_conv_dim=8, d_conv_dim=8, compute_dtype="float32", init_type="kaiming")
+    state, bundle = create_train_state(cfg, _jax.random.PRNGKey(3), (32, 32), 1)
+    ev = _jax.jit(make_eval_step(bundle))
+    host_fn = lambda b: np.asarray(ev(state.g_params, state.g_extra, b))
+    img = rng.uniform(-1, 1, (80, 64, 3)).astype(np.float32)
+    host_out = enhance_tiled(host_fn, img, tile=32, overlap=8)
+    dev_fn = make_device_tiled_enhancer(bundle, (80, 64), tile=32, overlap=8)
+    dev_out = np.asarray(dev_fn(state.g_params, state.g_extra, jnp.asarray(img)))
+    assert dev_out.shape == img.shape
+    np.testing.assert_allclose(dev_out, host_out, rtol=1e-4, atol=1e-4)
+
+
 def test_spatial_sharded_matches_single_device(rng):
     """GSPMD spatial sharding is numerically the single-device program."""
     from uegan_tpu.config import Config

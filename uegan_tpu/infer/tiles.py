@@ -36,6 +36,57 @@ def _feather_window(tile: int, overlap: int) -> np.ndarray:
     return w
 
 
+def make_device_tiled_enhancer(bundle, image_hw, tile: int = 512, overlap: int = 32):
+    """Fully on-device tile/stitch: extract -> enhance (one batched G call) ->
+    feather-blend, all inside one jitted program; a single device->host fetch
+    returns the stitched image.  (The host-side :func:`enhance_tiled` fetches
+    every tile batch — measured 8.2 s/img over the remote-TPU tunnel vs the
+    compute cost of ~0.2 s.)
+
+    Returns ``fn(g_params, g_extra, image_hw3) -> image_hw3`` (jitted), for a
+    fixed image size.  Images larger than HBM should fall back to the host
+    path or GSPMD spatial sharding.
+    """
+    import jax
+    import jax.numpy as jnp
+    import jax.lax as jlax
+
+    from uegan_tpu.train.step import make_eval_step
+
+    assert tile % 16 == 0, "tile size must be divisible by 16"
+    h, w = image_hw
+    stride = tile - 2 * overlap
+    assert stride > 0, "overlap too large for tile size"
+    ys = _starts(max(h, tile), tile, stride)
+    xs = _starts(max(w, tile), tile, stride)
+    fw = _feather_window(tile, overlap)
+    win = jnp.asarray((fw[:, None] * fw[None, :])[..., None], jnp.float32)
+    eval_fn = make_eval_step(bundle)
+
+    def fn(g_params, g_extra, image):
+        img = image
+        ph, pw = max(0, tile - h), max(0, tile - w)
+        if ph or pw:
+            img = jnp.pad(img, ((0, ph), (0, pw), (0, 0)), mode="reflect")
+        tiles = jnp.stack(
+            [jlax.dynamic_slice(img, (y, x, 0), (tile, tile, 3)) for y in ys for x in xs]
+        )
+        outs = eval_fn(g_params, g_extra, tiles).astype(jnp.float32) * win[None]
+        acc = jnp.zeros(img.shape[:2] + (3,), jnp.float32)
+        wacc = jnp.zeros(img.shape[:2] + (1,), jnp.float32)
+        k = 0
+        for y in ys:
+            for x in xs:
+                cur = jlax.dynamic_slice(acc, (y, x, 0), (tile, tile, 3))
+                acc = jlax.dynamic_update_slice(acc, cur + outs[k], (y, x, 0))
+                curw = jlax.dynamic_slice(wacc, (y, x, 0), (tile, tile, 1))
+                wacc = jlax.dynamic_update_slice(wacc, curw + win, (y, x, 0))
+                k += 1
+        return (acc / jnp.maximum(wacc, 1e-8))[:h, :w]
+
+    return jax.jit(fn)
+
+
 def enhance_tiled(
     enhance_batch: Callable[[np.ndarray], np.ndarray],
     image: np.ndarray,

@@ -97,11 +97,11 @@ def bench_train(iters: int, hw: int, batch: int, remat: bool = False):
     rng = np.random.default_rng(0)
     raw = jax.device_put(rng.uniform(-1, 1, (batch, hw, hw, 3)).astype("float32"), bshard)
     exp = jax.device_put(rng.uniform(-1, 1, (batch, hw, hw, 3)).astype("float32"), bshard)
-    state, m, _, _ = step(state, raw, exp)
+    state, m, _ = step(state, raw, exp)
     _force(m)
     t0 = time.perf_counter()
     for _ in range(iters):
-        state, m, _, _ = step(state, raw, exp)
+        state, m, _ = step(state, raw, exp)
     _force(m)
     return iters / (time.perf_counter() - t0)
 

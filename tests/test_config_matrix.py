@@ -22,7 +22,7 @@ def _one_step(cfg):
     step = jax.jit(make_train_step(bundle))
     raw = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 3), minval=-1, maxval=1)
     exp = jax.random.uniform(jax.random.PRNGKey(2), (2, 32, 32, 3), minval=-1, maxval=1)
-    _, metrics, _, _ = step(state, raw, exp)
+    _, metrics, _ = step(state, raw, exp)
     for k, v in metrics.items():
         assert np.isfinite(float(v)), (cfg.adv_loss_type, k, float(v))
 

@@ -31,7 +31,7 @@ def test_train_step_runs_and_updates(tiny_setup):
     state, bundle, step_fn = tiny_setup
     raw = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 3), minval=-1, maxval=1)
     exp = jax.random.uniform(jax.random.PRNGKey(2), (2, 32, 32, 3), minval=-1, maxval=1)
-    new_state, metrics, fake, store = step_fn(state, raw, exp)
+    new_state, metrics, images = step_fn(state, raw, exp)
     assert int(new_state.step) == 1
     for k in ("D/Total", "G/Total", "G/adv_loss", "G/percep_loss", "G/idt_loss"):
         v = float(metrics[k])
@@ -48,21 +48,23 @@ def test_train_step_runs_and_updates(tiny_setup):
     # spectral state advances once the weights leave the orthogonal manifold
     # (at orthogonal init all singular values are equal, so the first step's
     # power iterations are stationary — run a second step)
-    state2, _, _, _ = step_fn(new_state, raw, exp)
+    state2, _, _ = step_fn(new_state, raw, exp)
     u1 = jax.tree_util.tree_leaves(new_state.d_extra["spectral"])[0]
     u2 = jax.tree_util.tree_leaves(state2.d_extra["spectral"])[0]
     assert not np.allclose(np.asarray(u1), np.asarray(u2), atol=1e-12)
     # pool filled with the batch
     assert int(new_state.pool.count) == 2
-    assert fake.shape == raw.shape and store.shape == raw.shape
+    assert images["fake_exp"].shape == raw.shape
+    assert images["fake_exp_store"].shape == raw.shape
+    assert images["real_exp_idt"].shape == exp.shape
 
 
 def test_two_steps_deterministic(tiny_setup):
     state, bundle, step_fn = tiny_setup
     raw = jax.random.uniform(jax.random.PRNGKey(3), (2, 32, 32, 3), minval=-1, maxval=1)
     exp = jax.random.uniform(jax.random.PRNGKey(4), (2, 32, 32, 3), minval=-1, maxval=1)
-    s1, m1, _, _ = step_fn(state, raw, exp)
-    s2, m2, _, _ = step_fn(state, raw, exp)
+    s1, m1, _ = step_fn(state, raw, exp)
+    s2, m2, _ = step_fn(state, raw, exp)
     np.testing.assert_allclose(float(m1["G/Total"]), float(m2["G/Total"]), rtol=0)
     a = jax.tree_util.tree_leaves(s1.g_params)[0]
     b = jax.tree_util.tree_leaves(s2.g_params)[0]
@@ -95,8 +97,8 @@ def test_train_step_bfloat16_mode():
     step_fn = jax.jit(make_train_step(bundle))
     raw = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 3), minval=-1, maxval=1)
     exp = jax.random.uniform(jax.random.PRNGKey(2), (2, 32, 32, 3), minval=-1, maxval=1)
-    new_state, metrics, fake, _ = step_fn(state, raw, exp)
-    assert fake.dtype == jnp.bfloat16
+    new_state, metrics, images = step_fn(state, raw, exp)
+    assert images["fake_exp"].dtype == jnp.bfloat16
     for k, v in metrics.items():
         assert np.isfinite(float(v)), k
     # params stay float32 regardless of compute dtype
@@ -109,5 +111,5 @@ def test_no_adv_input_changes_d_loss():
     step_fn = jax.jit(make_train_step(bundle))
     raw = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 3), minval=-1, maxval=1)
     exp = jax.random.uniform(jax.random.PRNGKey(2), (2, 32, 32, 3), minval=-1, maxval=1)
-    _, metrics, _, _ = step_fn(state, raw, exp)
+    _, metrics, _ = step_fn(state, raw, exp)
     assert np.isfinite(float(metrics["D/Total"]))

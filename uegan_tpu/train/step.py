@@ -121,7 +121,10 @@ def make_train_step(bundle: ModelBundle) -> Callable[[TrainState, Dict], Tuple[T
             )
             idt = cfg.lambda_idt * multiscale_rec_loss(idt_out, img_exp, cfg.idt_loss_type)
             loss = adv + percep + idt
-            return loss, dict(adv=adv, percep=percep, idt=idt, d_extra=extra, g_extra=g_extra2)
+            return loss, dict(
+                adv=adv, percep=percep, idt=idt, idt_out=idt_out,
+                d_extra=extra, g_extra=g_extra2,
+            )
 
         (g_loss, g_aux), (dfake, g_grads_idt) = jax.value_and_grad(
             g_head, argnums=(0, 1), has_aux=True
@@ -149,7 +152,12 @@ def make_train_step(bundle: ModelBundle) -> Callable[[TrainState, Dict], Tuple[T
             "G/percep_loss": g_aux["percep"],
             "G/idt_loss": g_aux["idt"],
         }
-        return new_state, metrics, fake_exp, store
+        images = {
+            "fake_exp": fake_exp,
+            "fake_exp_store": store,
+            "real_exp_idt": jax.lax.stop_gradient(g_aux["idt_out"]),
+        }
+        return new_state, metrics, images
 
     return train_step
 

@@ -142,11 +142,11 @@ class Trainer:
             batch = next(fetcher)
             self.timer.start()
             self.timer.maybe_trace(step)
-            self.state, metrics, fake, store = self._step_fn(
+            self.state, metrics, images = self._step_fn(
                 self.state, batch["img_raw"], batch["img_exp"]
             )
             self.timer.stop()
-            self._post_step(step, total_steps, metrics, batch, fake, store)
+            self._post_step(step, total_steps, metrics, batch, images)
             if pbar is not None:
                 pbar.update(1)
                 pbar.set_description(
@@ -162,7 +162,7 @@ class Trainer:
         print("=========== Complete training ===========")
 
     # ------------------------------------------------------------------
-    def _post_step(self, step, total_steps, metrics, batch, fake, store):
+    def _post_step(self, step, total_steps, metrics, batch, images):
         args = self.args
         current_epoch = (step + 1) / self.train_steps_per_epoch
 
@@ -172,7 +172,7 @@ class Trainer:
 
         if (step + 1) % args.sample_step == 0:
             raw01 = _denorm_np(batch["img_raw"])
-            fake01 = _denorm_np(fake)
+            fake01 = _denorm_np(images["fake_exp"])
             exp01 = _denorm_np(batch["img_exp"])
             for i in range(raw01.shape[0]):
                 name = batch["img_name"][i]
@@ -187,16 +187,25 @@ class Trainer:
         if self.logger is not None and (step + 1) % args.log_step == 0:
             for tag, value in metrics.items():
                 self.logger.scalar_summary(tag, float(value), step + 1)
-            self.logger.images_summary("Train_fakeExp/fakeExp", _denorm_np(fake), step + 1)
+            fake01 = _denorm_np(images["fake_exp"])
+            self.logger.images_summary("Train_fakeExp/fakeExp", fake01, step + 1)
             self.logger.images_summary(
                 "Train_compare/realRaw_fakeExp_realExp",
                 np.concatenate(
-                    [_denorm_np(batch["img_raw"]), _denorm_np(fake), _denorm_np(batch["img_exp"])],
-                    axis=2,
+                    [_denorm_np(batch["img_raw"]), fake01, _denorm_np(batch["img_exp"])], axis=2
                 ),
                 step + 1,
             )
-            self.logger.images_summary("Train_fakeExpStore/fakeExpStore", _denorm_np(store), step + 1)
+            self.logger.images_summary(
+                "Train_realExpIdt/realExp_realExpIdt",
+                np.concatenate(
+                    [_denorm_np(batch["img_exp"]), _denorm_np(images["real_exp_idt"])], axis=2
+                ),
+                step + 1,
+            )
+            self.logger.images_summary(
+                "Train_fakeExpStore/fakeExpStore", _denorm_np(images["fake_exp_store"]), step + 1
+            )
 
         if (step + 1) % self.model_save_step == 0:
             self.ckpt.save(jax.device_get(self.state), current_epoch)

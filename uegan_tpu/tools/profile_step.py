@@ -56,7 +56,7 @@ def main(argv=None) -> None:
         holder = {"state": state}
 
         def run():
-            holder["state"], m, _, _ = step_fn(holder["state"], raw, exp)
+            holder["state"], m, _ = step_fn(holder["state"], raw, exp)
             return m
 
         state = None  # donated

@@ -225,11 +225,26 @@ class Trainer:
         os.makedirs(val_compare_save_path, exist_ok=True)
 
         print("==================== Start validation ====================")
+        od_psnr, od_ssim = [], []
         for batch in self.loaders["val"]:
             raw = jnp.asarray(batch["img_raw"])
             out = self._eval_fn(self.state.g_params, self.state.g_extra, raw)
             out01 = _denorm_np(out)
             raw01 = _denorm_np(raw)
+            if args.on_device_metrics and "img_exp" in batch:
+                # fast path: batched PSNR/SSIM vs the paired label (domain 1)
+                # straight from tensors — no PNG round-trip (the disk
+                # protocol below stays authoritative for reference parity)
+                from uegan_tpu.metrics.psnr import psnr_batch
+                from uegan_tpu.metrics.ssim import ssim_batch
+
+                label01 = _denorm_np(batch["img_exp"])
+                od_psnr.extend(np.asarray(
+                    psnr_batch(jnp.asarray(out01) * 255.0, jnp.asarray(label01) * 255.0,
+                               crop_border=4)).tolist())
+                od_ssim.extend(np.asarray(
+                    ssim_batch(jnp.asarray(out01) * 255.0, jnp.asarray(label01) * 255.0,
+                               crop_border=4)).tolist())
             for i in range(out01.shape[0]):
                 name = batch["img_name"][i]
                 save_image(out01[i], os.path.join(val_save_path, f"{name}_{current_epoch:0>3.2f}_valFakeExp.png"))
@@ -237,6 +252,12 @@ class Trainer:
                     [raw01[i], out01[i]],
                     os.path.join(val_compare_save_path, f"{name}_{current_epoch:0>3.2f}_valRealRaw_valFakeExp.png"),
                 )
+        if od_psnr:
+            print(f"====== On-device Avg. PSNR: {np.mean(od_psnr):>.4f} dB, "
+                  f"SSIM: {np.mean(od_ssim):>.4f} ======")
+            if self.logger is not None:
+                self.logger.scalar_summary("val/psnr_on_device", float(np.mean(od_psnr)), step + 1)
+                self.logger.scalar_summary("val/ssim_on_device", float(np.mean(od_ssim)), step + 1)
 
         if args.is_test_nima:
             curr = calc_nima(

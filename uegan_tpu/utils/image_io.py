@@ -36,3 +36,12 @@ def save_image_grid(imgs01: Sequence[np.ndarray], path: str, axis: int = 1) -> N
 def load_image(path: str) -> np.ndarray:
     """PNG -> HWC float32 [0,1]."""
     return np.asarray(Image.open(path).convert("RGB"), dtype=np.float32) / 255.0
+
+
+def tensor2im(batch: np.ndarray, index: int = 0) -> np.ndarray:
+    """[-1,1] NHWC batch -> uint8 HWC image (reference: utils.py:137-146)."""
+    arr = np.asarray(batch, dtype=np.float32)
+    img = arr[index]
+    if img.shape[-1] == 1:
+        img = np.tile(img, (1, 1, 3))
+    return np.clip((img + 1.0) / 2.0 * 255.0, 0, 255).astype(np.uint8)

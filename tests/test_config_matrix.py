@@ -14,6 +14,8 @@ from uegan_tpu.config import ADV_LOSS_TYPES, Config
 from uegan_tpu.train.state import create_train_state
 from uegan_tpu.train.step import make_train_step
 
+pytestmark = pytest.mark.slow
+
 TINY = Config(g_conv_dim=8, d_conv_dim=8, train_batch_size=2, pool_size=2, compute_dtype="float32")
 
 

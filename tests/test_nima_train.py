@@ -52,6 +52,7 @@ def test_ava_dataset_batches(ava_fixture):
     np.testing.assert_allclose(targets.sum(1), 1.0, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_train_nima_smoke(ava_fixture, tmp_path, monkeypatch):
     """One tiny epoch of EMD training runs and checkpoints."""
     import uegan_tpu.nima_train.dataset as ds_mod

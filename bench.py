@@ -44,14 +44,16 @@ def main() -> None:
         pass
 
     from uegan_tpu.config import Config
+    from uegan_tpu.infer.packed import make_fast_eval
     from uegan_tpu.train.state import create_train_state
-    from uegan_tpu.train.step import make_eval_step
 
     cfg = Config(compute_dtype="bfloat16")
     state, bundle = create_train_state(cfg, jax.random.PRNGKey(0), (HW, HW), steps_per_epoch=1)
     dev = jax.devices()[0]
     state = jax.device_put(state, dev)
-    eval_fn = jax.jit(make_eval_step(bundle))
+    # packed space-to-depth inference (test-enforced equivalent to the
+    # canonical forward; 1.57x on v5e — see infer/packed.py)
+    eval_fn = jax.jit(make_fast_eval(bundle, state.g_params))
 
     x = jax.device_put(
         np.random.default_rng(0).uniform(-1, 1, (BATCH, HW, HW, 3)).astype(np.float32), dev

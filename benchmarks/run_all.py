@@ -39,14 +39,14 @@ def bench_inference(iters: int, hw: int = 512, batch: int = 32):
     import numpy as np
 
     from uegan_tpu.config import Config
+    from uegan_tpu.infer.packed import make_fast_eval
     from uegan_tpu.train.state import create_train_state
-    from uegan_tpu.train.step import make_eval_step
 
     cfg = Config(compute_dtype="bfloat16")
     state, bundle = create_train_state(cfg, jax.random.PRNGKey(0), (hw, hw), 1)
     dev = jax.devices()[0]
     state = jax.device_put(state, dev)
-    fn = jax.jit(make_eval_step(bundle))
+    fn = jax.jit(make_fast_eval(bundle, state.g_params))
     x = jax.device_put(np.random.default_rng(0).uniform(-1, 1, (batch, hw, hw, 3)).astype("float32"), dev)
     r = fn(state.g_params, state.g_extra, x)
     _force(r)
@@ -117,14 +117,14 @@ def bench_highres(iters: int, hw: int = 2048):
     import numpy as np
 
     from uegan_tpu.config import Config
+    from uegan_tpu.infer.packed import make_fast_eval
     from uegan_tpu.train.state import create_train_state
-    from uegan_tpu.train.step import make_eval_step
 
     cfg = Config(compute_dtype="bfloat16")
     state, bundle = create_train_state(cfg, jax.random.PRNGKey(0), (hw, hw), 1)
     dev = jax.devices()[0]
     state = jax.device_put(state, dev)
-    fn = jax.jit(make_eval_step(bundle))
+    fn = jax.jit(make_fast_eval(bundle, state.g_params))
     x = jax.device_put(np.random.default_rng(0).uniform(-1, 1, (1, hw, hw, 3)).astype("float32"), dev)
     r = fn(state.g_params, state.g_extra, x)
     _force(r)

@@ -1,0 +1,113 @@
+"""Equivalence tests for the space-to-depth packed inference path."""
+
+import jax
+import jax.lax as lax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from uegan_tpu.infer.packed import (
+    depth_to_space,
+    make_packed_eval,
+    pack_generator_params,
+    pack_kernel_1x1,
+    pack_kernel_s1,
+    pack_kernel_s2,
+    packed_conv,
+    packed_gam_stats,
+    packed_instance_norm,
+    packed_reflect_pad,
+    packed_resize2x_align_corners,
+    space_to_depth,
+)
+from uegan_tpu.ops.norms import feature_mean_std, instance_norm
+from uegan_tpu.ops.padding import reflect_pad_2d
+from uegan_tpu.ops.resize import upsample2x_align_corners
+
+
+def _conv(x, k, stride=1):
+    return lax.conv_general_dilated(
+        x, k, (stride, stride), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=lax.Precision.HIGHEST,
+    )
+
+
+def test_s2d_roundtrip(rng):
+    x = jnp.asarray(rng.standard_normal((2, 8, 12, 5)).astype(np.float32))
+    np.testing.assert_array_equal(np.asarray(depth_to_space(space_to_depth(x))), np.asarray(x))
+
+
+def test_packed_reflect_pad_matches_original(rng):
+    x = jnp.asarray(rng.standard_normal((1, 16, 12, 3)).astype(np.float32))
+    for pad in (1, 2):
+        ref = space_to_depth(reflect_pad_2d(x, 2 * pad))
+        got = packed_reflect_pad(space_to_depth(x), pad, 3)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=0)
+
+
+@pytest.mark.parametrize("k,pad", [(3, 1), (7, 3), (5, 2)])
+def test_packed_conv_s1_matches_original(rng, k, pad):
+    cin, cout = 4, 6
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, cin)).astype(np.float32))
+    kern = rng.standard_normal((k, k, cin, cout)).astype(np.float32)
+    bias = rng.standard_normal((cout,)).astype(np.float32)
+    ref = _conv(reflect_pad_2d(x, pad), jnp.asarray(kern)) + bias
+    kp, s0 = pack_kernel_s1(kern, pad)
+    got = depth_to_space(packed_conv(
+        space_to_depth(x), jnp.asarray(kp), s0, cin, jnp.asarray(bias), jnp.float32
+    ))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_packed_conv_s2_matches_original(rng):
+    cin, cout = 4, 6
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, cin)).astype(np.float32))
+    kern = rng.standard_normal((3, 3, cin, cout)).astype(np.float32)
+    ref = _conv(reflect_pad_2d(x, 1), jnp.asarray(kern), stride=2)
+    kp, s0 = pack_kernel_s2(kern, 1)
+    got = packed_conv(space_to_depth(x), jnp.asarray(kp), s0, cin, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_packed_1x1_block_diag(rng):
+    cin, cout = 4, 3
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, cin)).astype(np.float32))
+    kern = rng.standard_normal((1, 1, cin, cout)).astype(np.float32)
+    ref = _conv(x, jnp.asarray(kern))
+    got = depth_to_space(_conv(space_to_depth(x), jnp.asarray(pack_kernel_1x1(kern))))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_packed_resize2x_matches_original(rng):
+    x = jnp.asarray(rng.standard_normal((1, 8, 6, 5)).astype(np.float32))
+    ref = space_to_depth(upsample2x_align_corners(x))
+    got = packed_resize2x_align_corners(x, (16, 12))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_packed_gam_stats_and_instance_norm(rng):
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 4)).astype(np.float32))
+    m_ref, s_ref = feature_mean_std(x)
+    m, s = packed_gam_stats(space_to_depth(x), 4)
+    np.testing.assert_allclose(np.asarray(m), np.asarray(m_ref)[:, 0, 0, :], rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref)[:, 0, 0, :], rtol=1e-4, atol=1e-5)
+    ref = space_to_depth(instance_norm(x))
+    got = packed_instance_norm(space_to_depth(x), 4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_packed_generator_matches_canonical(rng):
+    """Full packed forward == canonical Generator forward (f32, CPU)."""
+    from uegan_tpu.config import Config
+    from uegan_tpu.train.state import create_train_state
+    from uegan_tpu.train.step import make_eval_step
+
+    cfg = Config(g_conv_dim=8, d_conv_dim=8, compute_dtype="float32", init_type="kaiming")
+    state, bundle = create_train_state(cfg, jax.random.PRNGKey(7), (32, 32), 1)
+    x = jnp.asarray(rng.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32))
+    ref = make_eval_step(bundle)(state.g_params, state.g_extra, x)
+    packed = pack_generator_params(jax.device_get(state.g_params), cfg.g_conv_dim)
+    fn = jax.jit(make_packed_eval(bundle, packed))
+    got = fn(state.g_params, x)
+    assert got.shape == x.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-3, atol=2e-3)

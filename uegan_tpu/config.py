@@ -128,6 +128,9 @@ class Config:
     tile_overlap: int = 32
     remat: bool = False  # rematerialize conv blocks (512px training memory)
     cache_data: bool = False  # RAM-cache decoded images (small datasets)
+    packed_inference: bool = True  # space-to-depth packed G inference
+    # (1.57x measured; bit-equivalent to 1e-5; default-G-config only —
+    # silently falls back to the canonical forward otherwise)
     test_keep_aspect: bool = False  # keep native resolution (pad to /16)
     profile_dir: str = ""  # jax.profiler trace output
     checkpoint_async: bool = True

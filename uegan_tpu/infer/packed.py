@@ -1,0 +1,457 @@
+"""Space-to-depth packed execution of the generator's full-resolution tail.
+
+Why: every full-res activation has C=32, which TPU tiles to 128 lanes — 4x
+wasted HBM bandwidth and MXU lanes (profiled; OPTIMIZATION_NOTES.md).
+Packing 2x2 spatial phases into channels ((H,W,C) -> (H/2,W/2,4C)) makes all
+full-res tensors 128-channel.  Measured per-op on TPU v5e: the packed
+equivalent of the 3x3 C32 conv at 512^2 runs 2.8x faster, and of the 7x7
+32->3 output conv 6.3x faster — despite computing up to 4x the FLOPs,
+because both bandwidth and lane utilization quadruple.
+
+Algebra: for a stride-1 conv with kernel k (K x K, pad P = (K-1)//2), the
+packed conv kernel K_p satisfies
+
+    conv_packed(s2d(pad_reflect(x)), K_p) == s2d(conv(pad_reflect(x), k))
+
+with packed window size S = S0+S1+1 where the packed tap s and input phase
+pi for original tap u and output phase d solve 2s + pi = d + u - P.  A
+stride-2 conv consuming a packed input emits an ordinary (unpacked)
+half-res output with a 2x2 packed kernel.  Reflect padding in the packed
+domain mixes the two row/col phases of neighboring packed rows
+(``packed_reflect_pad``).
+
+Channel layout: phase-major — packed channel index = (pi*2 + pj)*C + c.
+
+Everything here transforms the CANONICAL parameter tree (no separate
+checkpoint format); equivalence against the canonical Generator forward is
+test-enforced (tests/test_packed.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Tuple
+
+import jax
+import jax.lax as lax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jnp.ndarray
+
+
+# ---------------------------------------------------------------------------
+# layout transforms
+# ---------------------------------------------------------------------------
+def space_to_depth(x: Array) -> Array:
+    """(N,H,W,C) -> (N,H/2,W/2,4C), phase-major channels."""
+    n, h, w, c = x.shape
+    y = x.reshape(n, h // 2, 2, w // 2, 2, c)
+    y = y.transpose(0, 1, 3, 2, 4, 5)  # n, hp, wp, pi, pj, c
+    return y.reshape(n, h // 2, w // 2, 4 * c)
+
+
+def depth_to_space(x: Array) -> Array:
+    """Inverse of :func:`space_to_depth`."""
+    n, hp, wp, c4 = x.shape
+    c = c4 // 4
+    y = x.reshape(n, hp, wp, 2, 2, c)
+    y = y.transpose(0, 1, 3, 2, 4, 5)
+    return y.reshape(n, hp * 2, wp * 2, c)
+
+
+# ---------------------------------------------------------------------------
+# kernel transforms (numpy, applied once to the canonical params)
+# ---------------------------------------------------------------------------
+def _tap_ranges(k: int, pad: int) -> Tuple[int, int]:
+    """Packed tap range [s_min, s_max] for original kernel size k, pad P."""
+    vals = [d + u - pad for d in (0, 1) for u in range(k)]
+    ss = [(v - (v & 1)) // 2 for v in vals]
+    return min(ss), max(ss)
+
+
+def pack_kernel_s1(kernel: np.ndarray, pad: int) -> Tuple[np.ndarray, int]:
+    """Stride-1 conv kernel (K,K,Cin,Cout) -> packed kernel, plus S0.
+
+    Packed conv: VALID over input packed-padded by S0 (lead) / S1 (trail);
+    output is packed (4*Cout) phase-major.
+    """
+    kk, _, cin, cout = kernel.shape
+    s_min, s_max = _tap_ranges(kk, pad)
+    S = s_max - s_min + 1
+    out = np.zeros((S, S, 4 * cin, 4 * cout), kernel.dtype)
+    for di in (0, 1):
+        for dj in (0, 1):
+            for u in range(kk):
+                for v in range(kk):
+                    ri = di + u - pad
+                    rj = dj + v - pad
+                    pi, pj = ri & 1, rj & 1
+                    si = (ri - pi) // 2 - s_min
+                    sj = (rj - pj) // 2 - s_min
+                    pin = (pi * 2 + pj)
+                    pout = (di * 2 + dj)
+                    out[si, sj, pin * cin : (pin + 1) * cin, pout * cout : (pout + 1) * cout] += kernel[u, v]
+    return out, -s_min
+
+
+def pack_kernel_s2(kernel: np.ndarray, pad: int) -> Tuple[np.ndarray, int]:
+    """Stride-2 conv kernel -> packed kernel consuming packed input, emitting
+    ordinary (unpacked) half-res output.  out[i,j] = sum_u k[u] x[2i+u-P]."""
+    kk, _, cin, cout = kernel.shape
+    vals = [u - pad for u in range(kk)]
+    ss = [(v - (v & 1)) // 2 for v in vals]
+    s_min, s_max = min(ss), max(ss)
+    S = s_max - s_min + 1
+    out = np.zeros((S, S, 4 * cin, cout), kernel.dtype)
+    for u in range(kk):
+        for v in range(kk):
+            ri, rj = u - pad, v - pad
+            pi, pj = ri & 1, rj & 1
+            si = (ri - pi) // 2 - s_min
+            sj = (rj - pj) // 2 - s_min
+            pin = pi * 2 + pj
+            out[si, sj, pin * cin : (pin + 1) * cin, :] += kernel[u, v]
+    return out, -s_min
+
+
+def pack_kernel_1x1(kernel: np.ndarray) -> np.ndarray:
+    """1x1 conv (1,1,Cin,Cout) -> block-diagonal packed (1,1,4Cin,4Cout)."""
+    _, _, cin, cout = kernel.shape
+    out = np.zeros((1, 1, 4 * cin, 4 * cout), kernel.dtype)
+    for p in range(4):
+        out[0, 0, p * cin : (p + 1) * cin, p * cout : (p + 1) * cout] = kernel[0, 0]
+    return out
+
+
+def interleave_input_channels(packed_kernel: np.ndarray, parts: List[int]) -> np.ndarray:
+    """Reorder a packed kernel's input channels from phase-major-per-part
+    concat order to concat-per-phase order.
+
+    A packed concat of tensors A (4*Ca) and B (4*Cb) lays channels as
+    [A_p0..A_p3, B_p0..B_p3], but the packed kernel built from the canonical
+    concat [A|B] expects [p0:(A|B), p1:(A|B), ...].  Folding the permutation
+    into the kernel keeps the concat free.
+    """
+    total = sum(parts)
+    perm = []
+    # desired input order (kernel rows) is [p, (part, c)]; actual tensor
+    # order is [(part, p, c)] -> build perm mapping kernel-row -> tensor idx
+    offsets = np.cumsum([0] + parts[:-1])
+    for p in range(4):
+        for part, cp in enumerate(parts):
+            base = offsets[part] * 4 + p * cp
+            perm.extend(range(base, base + cp))
+    inv = np.asarray(perm)
+    # kernel input index i corresponds to canonical [p,(part,c)]; tensor
+    # channel inv[i] holds that value -> gather kernel rows to tensor order
+    out = np.zeros_like(packed_kernel)
+    out[:, :, inv, :] = packed_kernel[:, :, np.arange(4 * total), :]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# packed reflect padding
+# ---------------------------------------------------------------------------
+def packed_reflect_pad(x: Array, pad: int, c: int) -> Array:
+    """Reflect-pad with ORIGINAL-domain semantics, done in the packed domain.
+
+    Packed row m holds original rows (2m, 2m+1).  With torch-style reflect
+    (no edge repeat, orig row -r == row r, row H-1+r == row H-1-r):
+
+    - leading packed pad row -m  = (phase0 <- packed[m].phase0,
+                                    phase1 <- packed[m-1].phase1)
+    - trailing packed pad row L-1+m = (phase0 <- packed[L-m].phase0,
+                                       phase1 <- packed[L-m-1].phase1)
+
+    Same construction per axis, using the row-phase (pi) or col-phase (pj)
+    channel groups.  ``pad`` is in packed rows (= 2 original rows).
+    """
+    if pad == 0:
+        return x
+
+    def pad_axis(t: Array, axis: int) -> Array:
+        moved = jnp.moveaxis(t, axis, 1)  # (n, L, other..., 4c)
+        L = moved.shape[1]
+        phase_dim = -3 if axis == 1 else -2  # pi or pj within (..., 2, 2, c)
+
+        def grouped(row: Array) -> Array:
+            return row.reshape(row.shape[:-1] + (2, 2, c))
+
+        def mixed(i_p0: int, i_p1: int) -> Array:
+            a = grouped(moved[:, i_p0])
+            b = grouped(moved[:, i_p1])
+            idx0 = (slice(None),) * (a.ndim + phase_dim) + (slice(0, 1),)
+            idx1 = (slice(None),) * (b.ndim + phase_dim) + (slice(1, 2),)
+            m = jnp.concatenate([a[idx0], b[idx1]], axis=phase_dim)
+            return m.reshape(m.shape[:-3] + (4 * c,))[:, None]
+
+        tops = [mixed(m, m - 1) for m in range(pad, 0, -1)]
+        bots = [mixed(L - m, L - m - 1) for m in range(1, pad + 1)]
+        out = jnp.concatenate(tops + [moved] + bots, axis=1)
+        return jnp.moveaxis(out, 1, axis)
+
+    x = pad_axis(x, 1)
+    x = pad_axis(x, 2)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# packed conv application
+# ---------------------------------------------------------------------------
+def packed_conv(
+    xp: Array, kp: Array, s0: int, c_in, bias: Array = None, dtype=jnp.bfloat16
+) -> Array:
+    """VALID conv of a packed tensor with a packed kernel, original-reflect
+    padding applied in the packed domain.  ``c_in`` is the ORIGINAL channel
+    count (phase group size), or a list of group sizes when ``xp`` is a
+    channel-concat of separately-packed tensors (each part is padded with its
+    own phase grouping).  ``bias`` is the original (Cout,) bias, applied per
+    output phase group when the output is packed."""
+    S = kp.shape[0]
+    s1 = S - 1 - s0
+    p = max(s0, s1)
+    lp, wp = xp.shape[1], xp.shape[2]
+    if p:
+        if isinstance(c_in, (list, tuple)):
+            parts, off = [], 0
+            for c in c_in:
+                parts.append(packed_reflect_pad(xp[..., off : off + 4 * c], p, c))
+                off += 4 * c
+            xpad = jnp.concatenate(parts, axis=-1)
+        else:
+            xpad = packed_reflect_pad(xp, p, c_in)
+    else:
+        xpad = xp
+    r0 = p - s0
+    xpad = xpad[:, r0 : r0 + lp + s0 + s1, r0 : r0 + wp + s0 + s1, :]
+    f32 = dtype == jnp.float32
+    y = lax.conv_general_dilated(
+        xpad.astype(dtype),
+        kp.astype(dtype),
+        window_strides=(1, 1),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32 if f32 else None,
+        precision=lax.Precision.HIGHEST if f32 else lax.Precision.DEFAULT,
+    )
+    if bias is not None:
+        cout = bias.shape[0]
+        if y.shape[-1] == 4 * cout:  # packed output: bias per phase group
+            b = jnp.tile(bias.astype(y.dtype), 4)
+        else:
+            b = bias.astype(y.dtype)
+        y = y + b
+    return y.astype(dtype)
+
+
+def leaky(x: Array) -> Array:
+    return jax.nn.leaky_relu(x, negative_slope=0.2)
+
+
+def packed_resize2x_align_corners(x: Array, out_hw: Tuple[int, int]) -> Array:
+    """Bilinear x2 align-corners resize emitting PACKED output directly.
+
+    Output phase (di,dj) holds original output rows 2i+di — sampled with the
+    standard 2-tap lerp but only at those positions, so the full-res tensor
+    never exists unpacked."""
+    from uegan_tpu.ops.resize import _interp_taps_np
+
+    n, h, w, c = x.shape
+    oh, ow = out_hw
+    lo_h, hi_h, fr_h = _interp_taps_np(h, oh, True)
+    lo_w, hi_w, fr_w = _interp_taps_np(w, ow, True)
+
+    phases = []
+    for di in (0, 1):
+        idx = np.arange(di, oh, 2)
+        l, hh, f = lo_h[idx], hi_h[idx], fr_h[idx]
+        f = jnp.asarray(f, x.dtype)[None, :, None, None]
+        yh = jnp.take(x, jnp.asarray(l), axis=1) * (1 - f) + jnp.take(x, jnp.asarray(hh), axis=1) * f
+        for dj in (0, 1):
+            idxw = np.arange(dj, ow, 2)
+            lw, hw_, fw = lo_w[idxw], hi_w[idxw], fr_w[idxw]
+            fwj = jnp.asarray(fw, x.dtype)[None, None, :, None]
+            phases.append(
+                jnp.take(yh, jnp.asarray(lw), axis=2) * (1 - fwj)
+                + jnp.take(yh, jnp.asarray(hw_), axis=2) * fwj
+            )
+    return jnp.concatenate(phases, axis=-1)  # phase-major: (di*2+dj)*C + c
+
+
+def packed_gam_stats(xp: Array, c: int, eps: float = 1e-5) -> Tuple[Array, Array]:
+    """GAM mean/unbiased-std per ORIGINAL channel from a packed tensor."""
+    n, hp, wp, _ = xp.shape
+    acc = xp.astype(jnp.float32).reshape(n, hp, wp, 4, c)
+    hw = hp * wp * 4
+    mean = jnp.mean(acc, axis=(1, 2, 3))  # (n, c)
+    sq = jnp.mean(acc * acc, axis=(1, 2, 3))
+    var = (sq - mean * mean) * (hw / max(hw - 1, 1))
+    std = jnp.sqrt(jnp.maximum(var, 0.0) + eps)
+    return mean, std
+
+
+def packed_instance_norm(xp: Array, c: int, eps: float = 1e-5) -> Array:
+    """Non-affine instance norm per ORIGINAL channel (biased var) on packed."""
+    n, hp, wp, _ = xp.shape
+    acc = xp.astype(jnp.float32).reshape(n, hp, wp, 4, c)
+    mean = jnp.mean(acc, axis=(1, 2, 3), keepdims=True)
+    var = jnp.mean(jnp.square(acc - mean), axis=(1, 2, 3), keepdims=True)
+    y = (acc - mean) * lax.rsqrt(var + eps)
+    return y.reshape(n, hp, wp, 4 * c).astype(xp.dtype)
+
+
+# ---------------------------------------------------------------------------
+# packed generator (inference fast path)
+# ---------------------------------------------------------------------------
+def pack_generator_params(params: Dict, conv_dim: int) -> Dict[str, np.ndarray]:
+    """Transform the canonical Generator params' full-res kernels.
+
+    Covers enc1, enc2 (stride-2 consumer), ga1 fuse, upsample4, dec4,
+    dec5_0/dec5_1 — everything that touches 512-res tensors.  The interior
+    keeps the canonical tree.
+    """
+    cd = conv_dim
+    g = lambda *path: np.asarray(functools.reduce(lambda d, k: d[k], path, params))
+    packed: Dict[str, np.ndarray] = {}
+    packed["enc1_k"], packed["enc1_s0"] = pack_kernel_s1(g("enc1", "conv", "kernel"), 3)
+    packed["enc2_k"], packed["enc2_s0"] = pack_kernel_s2(g("enc2", "conv", "kernel"), 1)
+    packed["ga1_fuse_k"] = interleave_input_channels(
+        pack_kernel_1x1(g("ga1", "fuse", "kernel")), [cd, cd]
+    )
+    packed["up4_k"] = pack_kernel_1x1(g("upsample4", "kernel"))
+    dec4_k, packed["dec4_s0"] = pack_kernel_s1(g("dec4", "conv", "kernel"), 1)
+    packed["dec4_k"] = interleave_input_channels(dec4_k, [cd, cd])
+    packed["dec5_0_k"], packed["dec5_0_s0"] = pack_kernel_s1(g("dec5_0", "kernel"), 1)
+    packed["dec5_1_k"], packed["dec5_1_s0"] = pack_kernel_s1(g("dec5_1", "kernel"), 3)
+    return packed
+
+
+def make_packed_eval(bundle, packed: Dict[str, np.ndarray]):
+    """Jittable packed-inference forward: fn(params, x) -> enhanced.
+
+    ``packed`` comes from :func:`pack_generator_params` and is closed over as
+    compile-time constants (a few MB of transformed kernels).  Only valid for
+    the default generator config (norm 'none', LeakyReLU, no spectral norm
+    in G) — asserted at build time.  Numerical equivalence with the canonical
+    forward is test-enforced.
+    """
+    from uegan_tpu.models.blocks import ConvBlock, GAM, SNConv
+    from uegan_tpu.ops.resize import upsample2x_align_corners
+
+    gm = bundle.g_model
+    assert gm.norm_fun == "none" and gm.act_fun == "LeakyReLU" and not gm.use_sn, (
+        "packed inference supports the default generator config only"
+    )
+    cd = gm.conv_dim
+    dt = gm.dtype
+    dec4_s0 = int(packed["dec4_s0"])
+    dec5_0_s0 = int(packed["dec5_0_s0"])
+    dec5_1_s0 = int(packed["dec5_1_s0"])
+    enc1_s0 = int(packed["enc1_s0"])
+    enc2_s0 = int(packed["enc2_s0"])
+
+    def block(features, k, s, name):
+        return ConvBlock(
+            features=features, kernel_size=k, stride=s, use_bias=True,
+            norm_fun="none", act_fun="LeakyReLU", use_sn=False,
+            dtype=dt, param_dtype=gm.param_dtype,
+        )
+
+    def gam(nc):
+        return GAM(out_nc=nc, reduction=8, use_bias=False, use_sn=False,
+                   norm=True, dtype=dt, param_dtype=gm.param_dtype)
+
+    def up(features):
+        return SNConv(features=features, kernel_size=1, stride=1, use_bias=True,
+                      use_sn=False, dtype=dt, param_dtype=gm.param_dtype)
+
+    def conv1x1(xp, kp, bias, cout):
+        y = lax.conv_general_dilated(
+            xp.astype(dt), kp.astype(dt), (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32 if dt == jnp.float32 else None,
+            precision=lax.Precision.HIGHEST if dt == jnp.float32 else lax.Precision.DEFAULT,
+        )
+        return (y + jnp.tile(bias.astype(y.dtype), 4)).astype(dt)
+
+    def fn(params, x):
+        p = params
+        xp = space_to_depth(x.astype(dt))  # (N,H/2,W/2,12)
+        x1p = leaky(packed_conv(xp, packed["enc1_k"], enc1_s0, 3, p["enc1"]["conv"]["bias"], dt))
+        x2 = leaky(packed_conv(x1p, packed["enc2_k"], enc2_s0, cd, p["enc2"]["conv"]["bias"], dt))
+
+        # interior at <=256^2: canonical modules on the canonical params
+        x3 = block(cd * 4, 3, 2, "enc3").apply({"params": p["enc3"]}, x2, False, False)
+        x4 = block(cd * 8, 3, 2, "enc4").apply({"params": p["enc4"]}, x3, False, False)
+        x5 = block(cd * 16, 3, 2, "enc5").apply({"params": p["enc5"]}, x4, False, False)
+        x5 = gam(cd * 16).apply({"params": p["ga5"]}, x5, update_sn=False)
+
+        y1 = up(cd * 8).apply({"params": p["upsample1"]}, upsample2x_align_corners(x5), update_sn=False)
+        y1 = jnp.concatenate([y1, gam(cd * 8).apply({"params": p["ga4"]}, x4, update_sn=False)], -1)
+        y1 = block(cd * 8, 3, 1, "dec1").apply({"params": p["dec1"]}, y1, False, False)
+
+        y2 = up(cd * 4).apply({"params": p["upsample2"]}, upsample2x_align_corners(y1), update_sn=False)
+        y2 = jnp.concatenate([y2, gam(cd * 4).apply({"params": p["ga3"]}, x3, update_sn=False)], -1)
+        y2 = block(cd * 4, 3, 1, "dec2").apply({"params": p["dec2"]}, y2, False, False)
+
+        y3 = up(cd * 2).apply({"params": p["upsample3"]}, upsample2x_align_corners(y2), update_sn=False)
+        y3 = jnp.concatenate([y3, gam(cd * 2).apply({"params": p["ga2"]}, x2, update_sn=False)], -1)
+        y3 = block(cd * 2, 3, 1, "dec3").apply({"params": p["dec3"]}, y3, False, False)
+
+        # ga1 on the packed x1
+        mean, std = packed_gam_stats(x1p, cd)  # (n, cd) each
+        stats = jnp.concatenate([mean, std], -1).astype(dt)  # (n, 2cd)
+        sq = p["ga1"]["squeeze"]["kernel"][0, 0].astype(dt)  # (2cd, cd//8)
+        ex = p["ga1"]["excite"]["kernel"][0, 0].astype(dt)  # (cd//8, cd)
+        h = jax.nn.relu(stats @ sq) @ ex  # (n, cd)
+        hb = jnp.tile(h, (1, 4))[:, None, None, :]  # phase-major broadcast
+        ga_in = jnp.concatenate(
+            [x1p, jnp.broadcast_to(hb, x1p.shape[:3] + (4 * cd,))], -1
+        )
+        ga1p = conv1x1(ga_in, jnp.asarray(packed["ga1_fuse_k"]), p["ga1"]["fuse"]["bias"], cd)
+        ga1p = packed_instance_norm(ga1p, cd)
+
+        h4, w4 = x.shape[1], x.shape[2]
+        up4 = packed_resize2x(y3, (h4, w4))
+        up4 = conv1x1(up4, jnp.asarray(packed["up4_k"]), p["upsample4"]["bias"], cd)
+        y4p = leaky(packed_conv(
+            jnp.concatenate([up4, ga1p], -1), packed["dec4_k"],
+            dec4_s0, [cd, cd], p["dec4"]["conv"]["bias"], dt,
+        ))
+
+        h5 = packed_conv(y4p * x1p, packed["dec5_0_k"], dec5_0_s0,
+                         cd, p["dec5_0"]["bias"], dt)
+        res = jnp.tanh(packed_conv(h5, packed["dec5_1_k"], dec5_1_s0,
+                                   cd, p["dec5_1"]["bias"], dt))
+        out = jnp.clip(res.astype(jnp.float32) + xp.astype(jnp.float32), -1.0, 1.0)
+        return depth_to_space(out.astype(dt))
+
+    return fn
+
+
+# keep the name used by forward
+packed_resize2x = packed_resize2x_align_corners
+
+
+def make_fast_eval(bundle, g_params):
+    """Best inference forward for this config: packed when eligible
+    (default generator config), else the canonical eval step.
+
+    Returns ``fn(g_params, g_extra, x)`` with the canonical signature either
+    way (the packed path ignores ``g_extra`` — the default G has none).
+    """
+    from uegan_tpu.train.step import make_eval_step
+
+    gm = bundle.g_model
+    eligible = (
+        getattr(bundle.config, "packed_inference", False)
+        and gm.norm_fun == "none"
+        and gm.act_fun == "LeakyReLU"
+        and not gm.use_sn
+    )
+    if not eligible:
+        return make_eval_step(bundle)
+    packed = pack_generator_params(jax.device_get(g_params), gm.conv_dim)
+    packed_fn = make_packed_eval(bundle, packed)
+    return lambda params, extra, x: packed_fn(params, x)

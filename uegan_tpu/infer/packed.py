@@ -252,30 +252,26 @@ def leaky(x: Array) -> Array:
 def packed_resize2x_align_corners(x: Array, out_hw: Tuple[int, int]) -> Array:
     """Bilinear x2 align-corners resize emitting PACKED output directly.
 
-    Output phase (di,dj) holds original output rows 2i+di — sampled with the
-    standard 2-tap lerp but only at those positions, so the full-res tensor
-    never exists unpacked."""
-    from uegan_tpu.ops.resize import _interp_taps_np
+    Output phase (di,dj) holds original output rows 2i+di — computed with
+    per-phase interpolation matrices on the MXU (the full-res tensor never
+    exists unpacked; matmul beat gathers at decoder shapes in ops/resize.py's
+    A/B and the same holds here)."""
+    from uegan_tpu.ops.resize import _interp_matrix_np
 
     n, h, w, c = x.shape
     oh, ow = out_hw
-    lo_h, hi_h, fr_h = _interp_taps_np(h, oh, True)
-    lo_w, hi_w, fr_w = _interp_taps_np(w, ow, True)
-
+    mh = _interp_matrix_np(h, oh, True)  # (oh, h)
+    mw = _interp_matrix_np(w, ow, True)
+    prec = (
+        jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+    )
     phases = []
     for di in (0, 1):
-        idx = np.arange(di, oh, 2)
-        l, hh, f = lo_h[idx], hi_h[idx], fr_h[idx]
-        f = jnp.asarray(f, x.dtype)[None, :, None, None]
-        yh = jnp.take(x, jnp.asarray(l), axis=1) * (1 - f) + jnp.take(x, jnp.asarray(hh), axis=1) * f
+        mhp = jnp.asarray(mh[di::2], x.dtype)  # (oh/2, h)
+        yh = jnp.einsum("oh,nhwc->nowc", mhp, x, precision=prec)
         for dj in (0, 1):
-            idxw = np.arange(dj, ow, 2)
-            lw, hw_, fw = lo_w[idxw], hi_w[idxw], fr_w[idxw]
-            fwj = jnp.asarray(fw, x.dtype)[None, None, :, None]
-            phases.append(
-                jnp.take(yh, jnp.asarray(lw), axis=2) * (1 - fwj)
-                + jnp.take(yh, jnp.asarray(hw_), axis=2) * fwj
-            )
+            mwp = jnp.asarray(mw[dj::2], x.dtype)
+            phases.append(jnp.einsum("pw,nowc->nopc", mwp, yh, precision=prec))
     return jnp.concatenate(phases, axis=-1)  # phase-major: (di*2+dj)*C + c
 
 

@@ -169,22 +169,30 @@ def packed_reflect_pad(x: Array, pad: int, c: int) -> Array:
     """
     if pad == 0:
         return x
+    parts = [c] if isinstance(c, int) else list(c)
 
     def pad_axis(t: Array, axis: int) -> Array:
-        moved = jnp.moveaxis(t, axis, 1)  # (n, L, other..., 4c)
+        moved = jnp.moveaxis(t, axis, 1)  # (n, L, other..., 4c_total)
         L = moved.shape[1]
         phase_dim = -3 if axis == 1 else -2  # pi or pj within (..., 2, 2, c)
 
-        def grouped(row: Array) -> Array:
-            return row.reshape(row.shape[:-1] + (2, 2, c))
-
         def mixed(i_p0: int, i_p1: int) -> Array:
-            a = grouped(moved[:, i_p0])
-            b = grouped(moved[:, i_p1])
-            idx0 = (slice(None),) * (a.ndim + phase_dim) + (slice(0, 1),)
-            idx1 = (slice(None),) * (b.ndim + phase_dim) + (slice(1, 2),)
-            m = jnp.concatenate([a[idx0], b[idx1]], axis=phase_dim)
-            return m.reshape(m.shape[:-3] + (4 * c,))[:, None]
+            # only the pad rows are constructed — the body is untouched, so a
+            # multi-part (concatenated) tensor costs no extra full passes
+            a_row, b_row = moved[:, i_p0], moved[:, i_p1]
+            outs, off = [], 0
+            for cp in parts:
+                a = a_row[..., off : off + 4 * cp]
+                b = b_row[..., off : off + 4 * cp]
+                a = a.reshape(a.shape[:-1] + (2, 2, cp))
+                b = b.reshape(b.shape[:-1] + (2, 2, cp))
+                idx0 = (slice(None),) * (a.ndim + phase_dim) + (slice(0, 1),)
+                idx1 = (slice(None),) * (b.ndim + phase_dim) + (slice(1, 2),)
+                m = jnp.concatenate([a[idx0], b[idx1]], axis=phase_dim)
+                outs.append(m.reshape(m.shape[:-3] + (4 * cp,)))
+                off += 4 * cp
+            row = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
+            return row[:, None]
 
         tops = [mixed(m, m - 1) for m in range(pad, 0, -1)]
         bots = [mixed(L - m, L - m - 1) for m in range(1, pad + 1)]
@@ -212,17 +220,7 @@ def packed_conv(
     s1 = S - 1 - s0
     p = max(s0, s1)
     lp, wp = xp.shape[1], xp.shape[2]
-    if p:
-        if isinstance(c_in, (list, tuple)):
-            parts, off = [], 0
-            for c in c_in:
-                parts.append(packed_reflect_pad(xp[..., off : off + 4 * c], p, c))
-                off += 4 * c
-            xpad = jnp.concatenate(parts, axis=-1)
-        else:
-            xpad = packed_reflect_pad(xp, p, c_in)
-    else:
-        xpad = xp
+    xpad = packed_reflect_pad(xp, p, c_in) if p else xp
     r0 = p - s0
     xpad = xpad[:, r0 : r0 + lp + s0 + s1, r0 : r0 + wp + s0 + s1, :]
     f32 = dtype == jnp.float32

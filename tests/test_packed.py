@@ -111,3 +111,18 @@ def test_packed_generator_matches_canonical(rng):
     got = fn(state.g_params, x)
     assert got.shape == x.shape
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+
+def test_pack_kernel_s2_packed_matches_original(rng):
+    """stride-2 conv: s2d(x) -> s2d(out) equivalence (the level-2 transform)."""
+    from uegan_tpu.infer.packed import pack_kernel_s2_packed, packed_conv_s2
+
+    cin, cout = 4, 6
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, cin)).astype(np.float32))
+    kern = rng.standard_normal((3, 3, cin, cout)).astype(np.float32)
+    bias = rng.standard_normal((cout,)).astype(np.float32)
+    ref = space_to_depth(_conv(reflect_pad_2d(x, 1), jnp.asarray(kern), stride=2) + bias)
+    kp, s0 = pack_kernel_s2_packed(kern, 1)
+    got = packed_conv_s2(space_to_depth(x), jnp.asarray(kp), s0, cin,
+                         jnp.asarray(bias), jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)

@@ -309,6 +309,10 @@ def pack_generator_params(params: Dict, conv_dim: int) -> Dict[str, np.ndarray]:
     g = lambda *path: np.asarray(functools.reduce(lambda d, k: d[k], path, params))
     packed: Dict[str, np.ndarray] = {}
     packed["enc1_k"], packed["enc1_s0"] = pack_kernel_s1(g("enc1", "conv", "kernel"), 3)
+    # NOTE: level-2 packing of the 256-res region (enc2->L2, ga2/dec3/up3)
+    # was implemented and measured SLOWER (352.8 vs 363.2 img/s): at C=64 the
+    # 4x FLOP overhead beats the 2x bandwidth saving.  The transforms
+    # (pack_kernel_s2_packed / packed_conv_s2) remain available and tested.
     packed["enc2_k"], packed["enc2_s0"] = pack_kernel_s2(g("enc2", "conv", "kernel"), 1)
     packed["ga1_fuse_k"] = interleave_input_channels(
         pack_kernel_1x1(g("ga1", "fuse", "kernel")), [cd, cd]
@@ -449,3 +453,63 @@ def make_fast_eval(bundle, g_params):
     packed = pack_generator_params(jax.device_get(g_params), gm.conv_dim)
     packed_fn = make_packed_eval(bundle, packed)
     return lambda params, extra, x: packed_fn(params, x)
+
+
+# ---------------------------------------------------------------------------
+# level-2 packing: stride-2 conv from packed input emitting packed output
+# ---------------------------------------------------------------------------
+def pack_kernel_s2_packed(kernel: np.ndarray, pad: int) -> Tuple[np.ndarray, int]:
+    """Stride-2 conv kernel -> packed kernel consuming an s2d input and
+    emitting an s2d (of the half-res output) result.
+
+    out_orig[2i+e] = sum_u k[u] x_orig[4i+2e+u-P]; the packed conv runs with
+    window stride 2 over the input's packed rows (tap s, input phase pi solve
+    2s + pi = 2e + u - P).
+    """
+    kk, _, cin, cout = kernel.shape
+    vals = [2 * e + u - pad for e in (0, 1) for u in range(kk)]
+    ss = [(v - (v & 1)) // 2 for v in vals]
+    s_min, s_max = min(ss), max(ss)
+    S = s_max - s_min + 1
+    out = np.zeros((S, S, 4 * cin, 4 * cout), kernel.dtype)
+    for ei in (0, 1):
+        for ej in (0, 1):
+            for u in range(kk):
+                for v in range(kk):
+                    ri = 2 * ei + u - pad
+                    rj = 2 * ej + v - pad
+                    pi, pj = ri & 1, rj & 1
+                    si = (ri - pi) // 2 - s_min
+                    sj = (rj - pj) // 2 - s_min
+                    pin = pi * 2 + pj
+                    pout = ei * 2 + ej
+                    out[si, sj, pin * cin : (pin + 1) * cin, pout * cout : (pout + 1) * cout] += kernel[u, v]
+    return out, -s_min
+
+
+def packed_conv_s2(
+    xp: Array, kp: Array, s0: int, c_in, bias: Array = None, dtype=jnp.bfloat16
+) -> Array:
+    """Stride-2 packed conv (packed in -> packed out), reflect semantics."""
+    S = kp.shape[0]
+    s_max = S - 1 - s0
+    p = max(s0, s_max, 0)
+    lh, lw = xp.shape[1], xp.shape[2]
+    xpad = packed_reflect_pad(xp, p, c_in) if p else xp
+    r0 = p - s0
+    need_h = lh + s0 + s_max - 1
+    need_w = lw + s0 + s_max - 1
+    xpad = xpad[:, r0 : r0 + need_h, r0 : r0 + need_w, :]
+    f32 = dtype == jnp.float32
+    y = lax.conv_general_dilated(
+        xpad.astype(dtype),
+        kp.astype(dtype),
+        window_strides=(2, 2),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32 if f32 else None,
+        precision=lax.Precision.HIGHEST if f32 else lax.Precision.DEFAULT,
+    )
+    if bias is not None:
+        y = y + jnp.tile(bias.astype(y.dtype), 4)
+    return y.astype(dtype)

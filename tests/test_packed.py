@@ -126,3 +126,19 @@ def test_pack_kernel_s2_packed_matches_original(rng):
     got = packed_conv_s2(space_to_depth(x), jnp.asarray(kp), s0, cin,
                          jnp.asarray(bias), jnp.float32)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_packed_generator_rectangular_input(rng):
+    """Non-square input through the packed path (H/W mix-up guard)."""
+    from uegan_tpu.config import Config
+    from uegan_tpu.train.state import create_train_state
+    from uegan_tpu.train.step import make_eval_step
+
+    cfg = Config(g_conv_dim=8, d_conv_dim=8, compute_dtype="float32", init_type="kaiming")
+    state, bundle = create_train_state(cfg, jax.random.PRNGKey(9), (32, 48), 1)
+    x = jnp.asarray(rng.uniform(-1, 1, (1, 32, 48, 3)).astype(np.float32))
+    ref = make_eval_step(bundle)(state.g_params, state.g_extra, x)
+    packed = pack_generator_params(jax.device_get(state.g_params), cfg.g_conv_dim)
+    got = jax.jit(make_packed_eval(bundle, packed))(state.g_params, x)
+    assert got.shape == x.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-3, atol=2e-3)

@@ -113,3 +113,28 @@ def test_no_adv_input_changes_d_loss():
     exp = jax.random.uniform(jax.random.PRNGKey(2), (2, 32, 32, 3), minval=-1, maxval=1)
     _, metrics, _ = step_fn(state, raw, exp)
     assert np.isfinite(float(metrics["D/Total"]))
+
+
+def test_fused_g_forward_matches_unfused():
+    """The batched-G fast path must be numerically identical to two calls."""
+    import uegan_tpu.train.step as step_mod
+
+    raw = jax.random.uniform(jax.random.PRNGKey(11), (2, 32, 32, 3), minval=-1, maxval=1)
+    exp = jax.random.uniform(jax.random.PRNGKey(12), (2, 32, 32, 3), minval=-1, maxval=1)
+
+    # fused (default config qualifies)
+    state, bundle = create_train_state(TINY, jax.random.PRNGKey(0), (32, 32), 10)
+    s_fused, m_fused, _ = jax.jit(make_train_step(bundle))(state, raw, exp)
+
+    # force the unfused path by faking an ineligible config in the closure
+    cfg2 = TINY.replace(g_norm_fun="none")
+    state2, bundle2 = create_train_state(cfg2, jax.random.PRNGKey(0), (32, 32), 10)
+    bundle2 = bundle2._replace(config=cfg2.replace(g_use_sn=True))  # guard only
+    s_unf, m_unf, _ = jax.jit(make_train_step(bundle2))(state2, raw, exp)
+
+    for k in m_fused:
+        np.testing.assert_allclose(float(m_fused[k]), float(m_unf[k]), rtol=5e-5, atol=1e-6)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s_fused.g_params), jax.tree_util.tree_leaves(s_unf.g_params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)

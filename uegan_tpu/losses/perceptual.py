@@ -44,8 +44,12 @@ def perceptual_loss(
     if x01.shape[-1] != 3:
         x01 = jnp.repeat(x01, 3, axis=-1)
         y01 = jnp.repeat(y01, 3, axis=-1)
-    fx = vgg.apply(vgg_variables, normalize_imagenet(x01))
-    fy = vgg.apply(vgg_variables, normalize_imagenet(y01))
+    # one batched VGG call for both inputs (per-sample network: equivalent
+    # to two calls, half the kernel launches)
+    b = x01.shape[0]
+    fboth = vgg.apply(vgg_variables, normalize_imagenet(jnp.concatenate([x01, y01], axis=0)))
+    fx = {k: v[:b] for k, v in fboth.items()}
+    fy = {k: v[b:] for k, v in fboth.items()}
     loss = jnp.float32(0.0)
     for tap in PERCEPTUAL_TAPS:
         a = instance_norm(fx[tap].astype(jnp.float32))

@@ -60,17 +60,38 @@ def make_train_step(bundle: ModelBundle) -> Callable[[TrainState, Dict], Tuple[T
     mode = cfg.adv_loss_type
     use_pool = cfg.pool_size > 0
 
+    # When G is stateless per-sample (the default config: no spectral norm,
+    # no norm layers), G(raw) and G(exp) can run as ONE batched forward —
+    # identical math, half the generator launches.  With SN the reference
+    # runs two power iterations per step; with Instance/BatchNorm the
+    # running-stats bookkeeping differs — keep two sequential calls then.
+    fuse_g = (not cfg.g_use_sn) and cfg.g_norm_fun == "none"
+
     def train_step(state: TrainState, img_raw: jnp.ndarray, img_exp: jnp.ndarray):
         rng, k_pool = jax.random.split(state.rng)
+        batch = img_raw.shape[0]
 
-        # ---- 1. fake = G(raw), keeping VJP residuals for the G update ----
-        def g_forward(g_params):
-            out, mut = _apply_with_extra(
-                g_model, g_params, state.g_extra, img_raw, train=True, update_sn=True
-            )
-            return out, mut
+        # ---- 1. G forward(s), keeping VJP residuals for the G update ----
+        if fuse_g:
+            def g_forward(g_params):
+                out, mut = _apply_with_extra(
+                    g_model, g_params, state.g_extra,
+                    jnp.concatenate([img_raw, img_exp], axis=0),
+                    train=True, update_sn=True,
+                )
+                return out, mut
 
-        fake_exp, g_vjp, g_extra1 = jax.vjp(g_forward, state.g_params, has_aux=True)
+            g_both, g_vjp, g_extra1 = jax.vjp(g_forward, state.g_params, has_aux=True)
+            fake_exp = g_both[:batch]
+        else:
+            def g_forward(g_params):
+                out, mut = _apply_with_extra(
+                    g_model, g_params, state.g_extra, img_raw, train=True, update_sn=True
+                )
+                return out, mut
+
+            g_both, g_vjp, g_extra1 = jax.vjp(g_forward, state.g_params, has_aux=True)
+            fake_exp = g_both
 
         # ---- 2. image pool (on-device ring buffer) ----
         if use_pool:
@@ -102,7 +123,7 @@ def make_train_step(bundle: ModelBundle) -> Callable[[TrainState, Dict], Tuple[T
         d_params1 = optax.apply_updates(state.d_params, d_updates)
 
         # ---- 4. G update against updated D (trainer.py:100-118) ----
-        def g_head(fake, g_params):
+        def g_losses(fake, idt_out):
             extra = d_extra1
             preds_real, extra = _apply_with_extra(
                 d_model, d_params1, extra, img_exp, train=True, update_sn=True
@@ -116,21 +137,40 @@ def make_train_step(bundle: ModelBundle) -> Callable[[TrainState, Dict], Tuple[T
             percep = cfg.lambda_percep * perceptual_loss(
                 vgg_model, vgg_vars, (fake + 1.0) / 2.0, (img_raw + 1.0) / 2.0
             )
-            idt_out, g_extra2 = _apply_with_extra(
-                g_model, g_params, g_extra1, img_exp, train=True, update_sn=True
-            )
             idt = cfg.lambda_idt * multiscale_rec_loss(idt_out, img_exp, cfg.idt_loss_type)
-            loss = adv + percep + idt
-            return loss, dict(
-                adv=adv, percep=percep, idt=idt, idt_out=idt_out,
-                d_extra=extra, g_extra=g_extra2,
-            )
+            return adv, percep, idt, extra
 
-        (g_loss, g_aux), (dfake, g_grads_idt) = jax.value_and_grad(
-            g_head, argnums=(0, 1), has_aux=True
-        )(fake_exp, state.g_params)
-        (g_grads_main,) = g_vjp(dfake)
-        g_grads = jax.tree_util.tree_map(jnp.add, g_grads_main, g_grads_idt)
+        if fuse_g:
+
+            def g_head(both):
+                adv, percep, idt, extra = g_losses(both[:batch], both[batch:])
+                loss = adv + percep + idt
+                return loss, dict(
+                    adv=adv, percep=percep, idt=idt, idt_out=both[batch:],
+                    d_extra=extra, g_extra=g_extra1,
+                )
+
+            (g_loss, g_aux), dboth = jax.value_and_grad(g_head, has_aux=True)(g_both)
+            (g_grads,) = g_vjp(dboth)
+        else:
+
+            def g_head(fake, g_params):
+                idt_out, g_extra2 = _apply_with_extra(
+                    g_model, g_params, g_extra1, img_exp, train=True, update_sn=True
+                )
+                adv, percep, idt, extra = g_losses(fake, idt_out)
+                loss = adv + percep + idt
+                return loss, dict(
+                    adv=adv, percep=percep, idt=idt, idt_out=idt_out,
+                    d_extra=extra, g_extra=g_extra2,
+                )
+
+            (g_loss, g_aux), (dfake, g_grads_idt) = jax.value_and_grad(
+                g_head, argnums=(0, 1), has_aux=True
+            )(fake_exp, state.g_params)
+            (g_grads_main,) = g_vjp(dfake)
+            g_grads = jax.tree_util.tree_map(jnp.add, g_grads_main, g_grads_idt)
+
         g_updates, g_opt = bundle.g_tx.update(g_grads, state.g_opt, state.g_params)
         g_params1 = optax.apply_updates(state.g_params, g_updates)
 

@@ -210,29 +210,64 @@ def packed_reflect_pad(x: Array, pad: int, c: int) -> Array:
 def packed_conv(
     xp: Array, kp: Array, s0: int, c_in, bias: Array = None, dtype=jnp.bfloat16
 ) -> Array:
-    """VALID conv of a packed tensor with a packed kernel, original-reflect
-    padding applied in the packed domain.  ``c_in`` is the ORIGINAL channel
-    count (phase group size), or a list of group sizes when ``xp`` is a
+    """Conv of a packed tensor with a packed kernel, original-reflect padding
+    applied in the packed domain.  ``c_in`` is the ORIGINAL channel count
+    (phase group size), or a list of group sizes when ``xp`` is a
     channel-concat of separately-packed tensors (each part is padded with its
     own phase grouping).  ``bias`` is the original (Cout,) bias, applied per
-    output phase group when the output is packed."""
+    output phase group when the output is packed.
+
+    Like ops/conv.py's ``conv2d_reflect``, the pad is never materialized when
+    the shape allows: the conv runs with implicit zero padding and the border
+    output rows/cols (the only windows that read a pad) are overwritten with
+    strips computed from packed-reflect-padded slabs of the border."""
+    from uegan_tpu.ops.conv import FUSED_PAD_CONV
+
     S = kp.shape[0]
     s1 = S - 1 - s0
     p = max(s0, s1)
     lp, wp = xp.shape[1], xp.shape[2]
-    xpad = packed_reflect_pad(xp, p, c_in) if p else xp
-    r0 = p - s0
-    xpad = xpad[:, r0 : r0 + lp + s0 + s1, r0 : r0 + wp + s0 + s1, :]
     f32 = dtype == jnp.float32
-    y = lax.conv_general_dilated(
-        xpad.astype(dtype),
-        kp.astype(dtype),
-        window_strides=(1, 1),
-        padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32 if f32 else None,
-        precision=lax.Precision.HIGHEST if f32 else lax.Precision.DEFAULT,
-    )
+
+    def conv_valid(t, padding="VALID"):
+        return lax.conv_general_dilated(
+            t.astype(dtype),
+            kp.astype(dtype),
+            window_strides=(1, 1),
+            padding=padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32 if f32 else None,
+            precision=lax.Precision.HIGHEST if f32 else lax.Precision.DEFAULT,
+        )
+
+    m = max(s0 + s1, p + 1)  # slab depth: enough rows for pad construction
+    if p == 0:
+        y = conv_valid(xp)
+    elif FUSED_PAD_CONV and lp > m + 2 * p and wp > m + 2 * p:
+        y = conv_valid(xp, padding=((s0, s1), (s0, s1)))
+        wslice = slice(p - s0, p + wp + s1)
+        if s0:
+            slab = packed_reflect_pad(xp[:, :m], p, c_in)
+            y = y.at[:, :s0].set(conv_valid(slab[:, p - s0 : p + s0 + s1, wslice]))
+        if s1:
+            slab = packed_reflect_pad(xp[:, lp - m :], p, c_in)
+            y = y.at[:, lp - s1 :].set(
+                conv_valid(slab[:, p + m - s0 - s1 : p + m + s1, wslice])
+            )
+        if s0:
+            slab = packed_reflect_pad(xp[:, :, :m], p, c_in)
+            y = y.at[:, s0 : lp - s1, :s0].set(
+                conv_valid(slab[:, p : p + lp, p - s0 : p + s0 + s1])
+            )
+        if s1:
+            slab = packed_reflect_pad(xp[:, :, wp - m :], p, c_in)
+            y = y.at[:, s0 : lp - s1, wp - s1 :].set(
+                conv_valid(slab[:, p : p + lp, p + m - s0 - s1 : p + m + s1])
+            )
+    else:
+        xpad = packed_reflect_pad(xp, p, c_in)
+        r0 = p - s0
+        y = conv_valid(xpad[:, r0 : r0 + lp + s0 + s1, r0 : r0 + wp + s0 + s1, :])
     if bias is not None:
         cout = bias.shape[0]
         if y.shape[-1] == 4 * cout:  # packed output: bias per phase group
@@ -385,6 +420,9 @@ def make_packed_eval(bundle, packed: Dict[str, np.ndarray]):
         x5 = block(cd * 16, 3, 2, "enc5").apply({"params": p["enc5"]}, x4, False, False)
         x5 = gam(cd * 16).apply({"params": p["ga5"]}, x5, update_sn=False)
 
+        # NOTE: commuting the 1x1 upsample convs before the resize (exact for
+        # linear ops) was measured SLOWER here (327-335 vs 377 img/s): the
+        # halved channel counts leave the resize einsums lane-padded.
         y1 = up(cd * 8).apply({"params": p["upsample1"]}, upsample2x_align_corners(x5), update_sn=False)
         y1 = jnp.concatenate([y1, gam(cd * 8).apply({"params": p["ga4"]}, x4, update_sn=False)], -1)
         y1 = block(cd * 8, 3, 1, "dec1").apply({"params": p["dec1"]}, y1, False, False)
@@ -410,6 +448,9 @@ def make_packed_eval(bundle, packed: Dict[str, np.ndarray]):
         ga1p = conv1x1(ga_in, jnp.asarray(packed["ga1_fuse_k"]), p["ga1"]["fuse"]["bias"], cd)
         ga1p = packed_instance_norm(ga1p, cd)
 
+        # upsample4 is NOT commuted: the packed 1x1 conv runs on 128-lane
+        # tensors, while conv-first would leave the resize einsums at C=32
+        # (4x lane waste) — measured slower (335 vs 377 img/s)
         h4, w4 = x.shape[1], x.shape[2]
         up4 = packed_resize2x(y3, (h4, w4))
         up4 = conv1x1(up4, jnp.asarray(packed["up4_k"]), p["upsample4"]["bias"], cd)

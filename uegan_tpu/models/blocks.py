@@ -50,33 +50,10 @@ def get_act_fun(act_fun_type: str = "LeakyReLU") -> Callable[[jnp.ndarray], jnp.
     raise NotImplementedError(f"activation function [{act_fun_type}] is not found")
 
 
-def conv2d_nhwc(
-    x: jnp.ndarray,
-    kernel: jnp.ndarray,
-    stride: int = 1,
-    dilation: int = 1,
-    dtype: Dtype = jnp.float32,
-) -> jnp.ndarray:
-    """VALID conv, NHWC x HWIO; returns ``dtype``.
-
-    float32 mode: HIGHEST precision (the MXU otherwise silently truncates
-    inputs to bf16) with f32 output.  bfloat16 mode: bf16 in/out — the MXU
-    accumulates in f32 internally, and keeping the *output* bf16 keeps
-    cotangents bf16 too (an f32 ``preferred_element_type`` makes the conv
-    transpose see an f32 cotangent against a bf16 kernel and fail).
-    """
-    f32 = dtype == jnp.float32
-    y = lax.conv_general_dilated(
-        x.astype(dtype),
-        kernel.astype(dtype),
-        window_strides=(stride, stride),
-        padding="VALID",
-        rhs_dilation=(dilation, dilation),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32 if f32 else None,
-        precision=lax.Precision.HIGHEST if f32 else lax.Precision.DEFAULT,
-    )
-    return y
+# conv2d_nhwc re-exported for backwards compatibility; the pad+conv pair in
+# SNConv goes through conv2d_reflect (zero-pad conv + border fix-up — no
+# materialized pad tensor; see ops/conv.py).
+from uegan_tpu.ops.conv import conv2d_nhwc, conv2d_reflect  # noqa: E402
 
 
 class SNConv(nn.Module):
@@ -102,8 +79,6 @@ class SNConv(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, update_sn: bool = True) -> jnp.ndarray:
         k = self.kernel_size
-        pad = same_reflect_padding(k, self.dilation)
-        x = reflect_pad_2d(x, pad)
         cin = x.shape[-1]
         kinit = self.kernel_init or get_initializer("orthogonal", 0.02)
         kernel = self.param("kernel", kinit, (k, k, cin, self.features), self.param_dtype)
@@ -118,7 +93,7 @@ class SNConv(nn.Module):
                 v.value = v_new
         else:
             w = kernel
-        y = conv2d_nhwc(x, w, self.stride, self.dilation, self.dtype)
+        y = conv2d_reflect(x, w, self.stride, self.dilation, self.dtype)
         if self.use_bias:
             b = self.param("bias", jax.nn.initializers.zeros, (self.features,), self.param_dtype)
             y = y + b.astype(y.dtype)

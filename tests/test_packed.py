@@ -142,3 +142,98 @@ def test_packed_generator_rectangular_input(rng):
     got = jax.jit(make_packed_eval(bundle, packed))(state.g_params, x)
     assert got.shape == x.shape
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# differentiable (traced) kernel packing — packed TRAINING execution
+# ---------------------------------------------------------------------------
+def test_traced_packers_match_numpy(rng):
+    from uegan_tpu.infer.packed import (
+        interleave_input_channels,
+        interleave_input_channels_traced,
+        pack_kernel_1x1_traced,
+        pack_kernel_s1_traced,
+        pack_kernel_s2_traced,
+    )
+
+    for k, pad in [(3, 1), (7, 3), (5, 2)]:
+        kern = rng.standard_normal((k, k, 4, 6)).astype(np.float32)
+        want, _ = pack_kernel_s1(kern, pad)
+        got = pack_kernel_s1_traced(jnp.asarray(kern), pad)
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6, atol=1e-6)
+        want2, _ = pack_kernel_s2(kern, pad)
+        got2 = pack_kernel_s2_traced(jnp.asarray(kern), pad)
+        np.testing.assert_allclose(np.asarray(got2), want2, rtol=1e-6, atol=1e-6)
+
+    k1 = rng.standard_normal((1, 1, 5, 7)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(pack_kernel_1x1_traced(jnp.asarray(k1))), pack_kernel_1x1(k1), atol=0
+    )
+
+    pk = rng.standard_normal((3, 3, 4 * 9, 8)).astype(np.float32)
+    want3 = interleave_input_channels(pk, [4, 5])
+    got3 = interleave_input_channels_traced(jnp.asarray(pk), [4, 5])
+    np.testing.assert_allclose(np.asarray(got3), want3, atol=0)
+
+
+def test_packed_train_forward_matches_canonical(rng):
+    """make_packed_eval(bundle, None) == canonical G forward + grads agree."""
+    from uegan_tpu.config import Config
+    from uegan_tpu.train.state import create_train_state
+    from uegan_tpu.train.step import make_eval_step
+
+    cfg = Config(compute_dtype="float32")
+    state, bundle = create_train_state(cfg, jax.random.PRNGKey(0), (32, 32), 1)
+    packed_fn = make_packed_eval(bundle, None)
+    canon = make_eval_step(bundle)
+    x = jnp.asarray(rng.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32))
+
+    got = jax.jit(packed_fn)(state.g_params, x)
+    want = jax.jit(canon)(state.g_params, state.g_extra, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+    # gradients w.r.t. the CANONICAL params through the packing
+    def loss_p(params):
+        return jnp.mean(jnp.square(packed_fn(params, x)))
+
+    def loss_c(params):
+        return jnp.mean(jnp.square(canon(params, state.g_extra, x)))
+
+    gp = jax.jit(jax.grad(loss_p))(state.g_params)
+    gc = jax.jit(jax.grad(loss_c))(state.g_params)
+    flat_p = jax.tree_util.tree_leaves_with_path(gp)
+    flat_c = {jax.tree_util.keystr(k): v for k, v in jax.tree_util.tree_leaves_with_path(gc)}
+    for key, v in flat_p:
+        ks = jax.tree_util.keystr(key)
+        np.testing.assert_allclose(
+            np.asarray(v), np.asarray(flat_c[ks]), rtol=5e-4, atol=1e-5, err_msg=ks
+        )
+
+
+def test_packed_train_step_matches_canonical(rng):
+    """Full train step with packed_train=True stays close to canonical."""
+    from uegan_tpu.config import Config
+    from uegan_tpu.train.state import create_train_state
+    from uegan_tpu.train.step import make_train_step
+
+    raw = jnp.asarray(rng.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32))
+    exp = jnp.asarray(rng.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32))
+
+    outs = {}
+    for packed in (False, True):
+        cfg = Config(
+            compute_dtype="float32", g_conv_dim=8, d_conv_dim=8, pool_size=4,
+            packed_train=packed,
+        )
+        state, bundle = create_train_state(cfg, jax.random.PRNGKey(0), (32, 32), 10)
+        s1, metrics, _ = jax.jit(make_train_step(bundle))(state, raw, exp)
+        outs[packed] = (s1, metrics)
+
+    m0, m1 = outs[False][1], outs[True][1]
+    for k in m0:
+        np.testing.assert_allclose(float(m1[k]), float(m0[k]), rtol=1e-4, atol=1e-5, err_msg=k)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(outs[False][0].g_params),
+        jax.tree_util.tree_leaves(outs[True][0].g_params),
+    ):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-3, atol=1e-5)

@@ -122,12 +122,14 @@ def test_fused_g_forward_matches_unfused():
     raw = jax.random.uniform(jax.random.PRNGKey(11), (2, 32, 32, 3), minval=-1, maxval=1)
     exp = jax.random.uniform(jax.random.PRNGKey(12), (2, 32, 32, 3), minval=-1, maxval=1)
 
-    # fused (default config qualifies)
-    state, bundle = create_train_state(TINY, jax.random.PRNGKey(0), (32, 32), 10)
+    # fused (default config qualifies); packed_train off so the comparison
+    # isolates the batching (packed equivalence is tested in test_packed.py)
+    cfg1 = TINY.replace(packed_train=False)
+    state, bundle = create_train_state(cfg1, jax.random.PRNGKey(0), (32, 32), 10)
     s_fused, m_fused, _ = jax.jit(make_train_step(bundle))(state, raw, exp)
 
     # force the unfused path by faking an ineligible config in the closure
-    cfg2 = TINY.replace(g_norm_fun="none")
+    cfg2 = TINY.replace(g_norm_fun="none", packed_train=False)
     state2, bundle2 = create_train_state(cfg2, jax.random.PRNGKey(0), (32, 32), 10)
     bundle2 = bundle2._replace(config=cfg2.replace(g_use_sn=True))  # guard only
     s_unf, m_unf, _ = jax.jit(make_train_step(bundle2))(state2, raw, exp)

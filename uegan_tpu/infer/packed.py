@@ -151,6 +151,96 @@ def interleave_input_channels(packed_kernel: np.ndarray, parts: List[int]) -> np
 
 
 # ---------------------------------------------------------------------------
+# differentiable kernel transforms (jnp, for packed TRAINING execution)
+#
+# The transforms above are linear scatters of kernel taps; expressing them as
+# an einsum with a tiny constant 0/1 tensor makes them traceable, so the
+# packed forward can run on the live canonical parameters inside the jitted
+# train step and autodiff delivers canonical-parameter gradients through the
+# packing for free.
+# ---------------------------------------------------------------------------
+@functools.lru_cache(maxsize=None)
+def _pack_T_s1(k: int, pad: int) -> Tuple[np.ndarray, int]:
+    """(S,S,4,4,K,K) 0/1 tensor: packed[si,sj,pin*C+c,pout*Q+q] =
+    sum_{uv} T[si,sj,pin,pout,u,v] * kernel[u,v,c,q]."""
+    s_min, s_max = _tap_ranges(k, pad)
+    S = s_max - s_min + 1
+    T = np.zeros((S, S, 4, 4, k, k), np.float32)
+    for di in (0, 1):
+        for dj in (0, 1):
+            for u in range(k):
+                for v in range(k):
+                    ri, rj = di + u - pad, dj + v - pad
+                    pi, pj = ri & 1, rj & 1
+                    si = (ri - pi) // 2 - s_min
+                    sj = (rj - pj) // 2 - s_min
+                    T[si, sj, pi * 2 + pj, di * 2 + dj, u, v] += 1.0
+    return T, -s_min
+
+
+@functools.lru_cache(maxsize=None)
+def _pack_T_s2(k: int, pad: int) -> Tuple[np.ndarray, int]:
+    """(S,S,4,K,K) 0/1 tensor for the stride-2 consumer (unpacked output)."""
+    vals = [u - pad for u in range(k)]
+    ss = [(v - (v & 1)) // 2 for v in vals]
+    s_min, s_max = min(ss), max(ss)
+    S = s_max - s_min + 1
+    T = np.zeros((S, S, 4, k, k), np.float32)
+    for u in range(k):
+        for v in range(k):
+            ri, rj = u - pad, v - pad
+            pi, pj = ri & 1, rj & 1
+            si = (ri - pi) // 2 - s_min
+            sj = (rj - pj) // 2 - s_min
+            T[si, sj, pi * 2 + pj, u, v] += 1.0
+    return T, -s_min
+
+
+def pack_kernel_s1_traced(kernel: Array, pad: int) -> Array:
+    """jnp version of :func:`pack_kernel_s1` (same output, differentiable)."""
+    kk, _, cin, cout = kernel.shape
+    T, _ = _pack_T_s1(kk, pad)
+    S = T.shape[0]
+    out = jnp.einsum("abipuv,uvcq->abicpq", jnp.asarray(T, kernel.dtype), kernel)
+    return out.reshape(S, S, 4 * cin, 4 * cout)
+
+
+def pack_kernel_s2_traced(kernel: Array, pad: int) -> Array:
+    kk, _, cin, cout = kernel.shape
+    T, _ = _pack_T_s2(kk, pad)
+    S = T.shape[0]
+    out = jnp.einsum("abiuv,uvcq->abicq", jnp.asarray(T, kernel.dtype), kernel)
+    return out.reshape(S, S, 4 * cin, cout)
+
+
+def pack_kernel_1x1_traced(kernel: Array) -> Array:
+    _, _, cin, cout = kernel.shape
+    out = jnp.einsum("ip,cq->icpq", jnp.eye(4, dtype=kernel.dtype), kernel[0, 0])
+    return out.reshape(1, 1, 4 * cin, 4 * cout)
+
+
+@functools.lru_cache(maxsize=None)
+def _interleave_gather_idx(parts: Tuple[int, ...]) -> np.ndarray:
+    """Gather indices g with out[..., j, :] = packed[..., g[j], :] equal to
+    :func:`interleave_input_channels`'s scatter."""
+    total = sum(parts)
+    perm = []
+    offsets = np.cumsum([0] + list(parts[:-1]))
+    for p in range(4):
+        for part, cp in enumerate(parts):
+            base = offsets[part] * 4 + p * cp
+            perm.extend(range(base, base + cp))
+    inv = np.asarray(perm)
+    g = np.empty(4 * total, np.int64)
+    g[inv] = np.arange(4 * total)
+    return g
+
+
+def interleave_input_channels_traced(packed_kernel: Array, parts) -> Array:
+    return packed_kernel[:, :, jnp.asarray(_interleave_gather_idx(tuple(parts))), :]
+
+
+# ---------------------------------------------------------------------------
 # packed reflect padding
 # ---------------------------------------------------------------------------
 def packed_reflect_pad(x: Array, pad: int, c: int) -> Array:
@@ -360,14 +450,49 @@ def pack_generator_params(params: Dict, conv_dim: int) -> Dict[str, np.ndarray]:
     return packed
 
 
-def make_packed_eval(bundle, packed: Dict[str, np.ndarray]):
-    """Jittable packed-inference forward: fn(params, x) -> enhanced.
+def pack_generator_params_traced(params, conv_dim: int) -> Dict[str, Array]:
+    """Differentiable :func:`pack_generator_params` (jnp ops on live params).
+
+    Used by the packed TRAINING forward: gradients flow back through the
+    einsum packing to the canonical kernels.
+    """
+    cd = conv_dim
+    g = lambda *path: functools.reduce(lambda d, k: d[k], path, params)
+    packed: Dict[str, Array] = {}
+    packed["enc1_k"] = pack_kernel_s1_traced(g("enc1", "conv", "kernel"), 3)
+    packed["enc2_k"] = pack_kernel_s2_traced(g("enc2", "conv", "kernel"), 1)
+    packed["ga1_fuse_k"] = interleave_input_channels_traced(
+        pack_kernel_1x1_traced(g("ga1", "fuse", "kernel")), [cd, cd]
+    )
+    packed["up4_k"] = pack_kernel_1x1_traced(g("upsample4", "kernel"))
+    packed["dec4_k"] = interleave_input_channels_traced(
+        pack_kernel_s1_traced(g("dec4", "conv", "kernel"), 1), [cd, cd]
+    )
+    packed["dec5_0_k"] = pack_kernel_s1_traced(g("dec5_0", "kernel"), 1)
+    packed["dec5_1_k"] = pack_kernel_s1_traced(g("dec5_1", "kernel"), 3)
+    return packed
+
+
+def packed_s0_statics() -> Dict[str, int]:
+    """The (static) lead-pad offsets of each packed kernel."""
+    return {
+        "enc1_s0": -_tap_ranges(7, 3)[0],
+        "enc2_s0": 1,  # stride-2 consumer of k3/p1 (see pack_kernel_s2)
+        "dec4_s0": -_tap_ranges(3, 1)[0],
+        "dec5_0_s0": -_tap_ranges(3, 1)[0],
+        "dec5_1_s0": -_tap_ranges(7, 3)[0],
+    }
+
+
+def make_packed_eval(bundle, packed: Dict[str, np.ndarray] = None):
+    """Jittable packed forward: fn(params, x) -> enhanced.
 
     ``packed`` comes from :func:`pack_generator_params` and is closed over as
-    compile-time constants (a few MB of transformed kernels).  Only valid for
-    the default generator config (norm 'none', LeakyReLU, no spectral norm
-    in G) — asserted at build time.  Numerical equivalence with the canonical
-    forward is test-enforced.
+    compile-time constants (a few MB of transformed kernels); pass ``None``
+    to pack the live params at trace time instead (differentiable — this is
+    the TRAINING fast path).  Only valid for the default generator config
+    (norm 'none', LeakyReLU, no spectral norm in G) — asserted at build
+    time.  Numerical equivalence with the canonical forward is test-enforced.
     """
     from uegan_tpu.models.blocks import ConvBlock, GAM, SNConv
     from uegan_tpu.ops.resize import upsample2x_align_corners
@@ -378,11 +503,12 @@ def make_packed_eval(bundle, packed: Dict[str, np.ndarray]):
     )
     cd = gm.conv_dim
     dt = gm.dtype
-    dec4_s0 = int(packed["dec4_s0"])
-    dec5_0_s0 = int(packed["dec5_0_s0"])
-    dec5_1_s0 = int(packed["dec5_1_s0"])
-    enc1_s0 = int(packed["enc1_s0"])
-    enc2_s0 = int(packed["enc2_s0"])
+    s0s = packed_s0_statics()
+    dec4_s0 = s0s["dec4_s0"]
+    dec5_0_s0 = s0s["dec5_0_s0"]
+    dec5_1_s0 = s0s["dec5_1_s0"]
+    enc1_s0 = s0s["enc1_s0"]
+    enc2_s0 = s0s["enc2_s0"]
 
     def block(features, k, s, name):
         return ConvBlock(
@@ -410,9 +536,10 @@ def make_packed_eval(bundle, packed: Dict[str, np.ndarray]):
 
     def fn(params, x):
         p = params
+        pk = packed if packed is not None else pack_generator_params_traced(p, cd)
         xp = space_to_depth(x.astype(dt))  # (N,H/2,W/2,12)
-        x1p = leaky(packed_conv(xp, packed["enc1_k"], enc1_s0, 3, p["enc1"]["conv"]["bias"], dt))
-        x2 = leaky(packed_conv(x1p, packed["enc2_k"], enc2_s0, cd, p["enc2"]["conv"]["bias"], dt))
+        x1p = leaky(packed_conv(xp, pk["enc1_k"], enc1_s0, 3, p["enc1"]["conv"]["bias"], dt))
+        x2 = leaky(packed_conv(x1p, pk["enc2_k"], enc2_s0, cd, p["enc2"]["conv"]["bias"], dt))
 
         # interior at <=256^2: canonical modules on the canonical params
         x3 = block(cd * 4, 3, 2, "enc3").apply({"params": p["enc3"]}, x2, False, False)
@@ -445,7 +572,7 @@ def make_packed_eval(bundle, packed: Dict[str, np.ndarray]):
         ga_in = jnp.concatenate(
             [x1p, jnp.broadcast_to(hb, x1p.shape[:3] + (4 * cd,))], -1
         )
-        ga1p = conv1x1(ga_in, jnp.asarray(packed["ga1_fuse_k"]), p["ga1"]["fuse"]["bias"], cd)
+        ga1p = conv1x1(ga_in, jnp.asarray(pk["ga1_fuse_k"]), p["ga1"]["fuse"]["bias"], cd)
         ga1p = packed_instance_norm(ga1p, cd)
 
         # upsample4 is NOT commuted: the packed 1x1 conv runs on 128-lane
@@ -453,15 +580,15 @@ def make_packed_eval(bundle, packed: Dict[str, np.ndarray]):
         # (4x lane waste) — measured slower (335 vs 377 img/s)
         h4, w4 = x.shape[1], x.shape[2]
         up4 = packed_resize2x(y3, (h4, w4))
-        up4 = conv1x1(up4, jnp.asarray(packed["up4_k"]), p["upsample4"]["bias"], cd)
+        up4 = conv1x1(up4, jnp.asarray(pk["up4_k"]), p["upsample4"]["bias"], cd)
         y4p = leaky(packed_conv(
-            jnp.concatenate([up4, ga1p], -1), packed["dec4_k"],
+            jnp.concatenate([up4, ga1p], -1), pk["dec4_k"],
             dec4_s0, [cd, cd], p["dec4"]["conv"]["bias"], dt,
         ))
 
-        h5 = packed_conv(y4p * x1p, packed["dec5_0_k"], dec5_0_s0,
+        h5 = packed_conv(y4p * x1p, pk["dec5_0_k"], dec5_0_s0,
                          cd, p["dec5_0"]["bias"], dt)
-        res = jnp.tanh(packed_conv(h5, packed["dec5_1_k"], dec5_1_s0,
+        res = jnp.tanh(packed_conv(h5, pk["dec5_1_k"], dec5_1_s0,
                                    cd, p["dec5_1"]["bias"], dt))
         out = jnp.clip(res.astype(jnp.float32) + xp.astype(jnp.float32), -1.0, 1.0)
         return depth_to_space(out.astype(dt))

@@ -67,6 +67,21 @@ def make_train_step(bundle: ModelBundle) -> Callable[[TrainState, Dict], Tuple[T
     # running-stats bookkeeping differs — keep two sequential calls then.
     fuse_g = (not cfg.g_use_sn) and cfg.g_norm_fun == "none"
 
+    # Optional packed (space-to-depth) G execution inside the train step:
+    # the full-res tail runs on 128-lane tensors, kernels packed from the
+    # live params at trace time (differentiable — infer/packed.py).  Equal
+    # math to float tolerance, not bit-identical, hence opt-in.
+    packed_g = None
+    if (
+        getattr(cfg, "packed_train", False)
+        and fuse_g
+        and g_model.norm_fun == "none"
+        and g_model.act_fun == "LeakyReLU"
+    ):
+        from uegan_tpu.infer.packed import make_packed_eval
+
+        packed_g = make_packed_eval(bundle, None)
+
     def train_step(state: TrainState, img_raw: jnp.ndarray, img_exp: jnp.ndarray):
         rng, k_pool = jax.random.split(state.rng)
         batch = img_raw.shape[0]
@@ -74,9 +89,11 @@ def make_train_step(bundle: ModelBundle) -> Callable[[TrainState, Dict], Tuple[T
         # ---- 1. G forward(s), keeping VJP residuals for the G update ----
         if fuse_g:
             def g_forward(g_params):
+                both = jnp.concatenate([img_raw, img_exp], axis=0)
+                if packed_g is not None:
+                    return packed_g(g_params, both), state.g_extra
                 out, mut = _apply_with_extra(
-                    g_model, g_params, state.g_extra,
-                    jnp.concatenate([img_raw, img_exp], axis=0),
+                    g_model, g_params, state.g_extra, both,
                     train=True, update_sn=True,
                 )
                 return out, mut

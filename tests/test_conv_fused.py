@@ -11,8 +11,26 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+import uegan_tpu.ops.conv as conv_mod
 from uegan_tpu.ops.conv import conv2d_nhwc, conv2d_reflect
 from uegan_tpu.ops.padding import reflect_pad_2d, same_reflect_padding
+
+
+@pytest.fixture(autouse=True)
+def _force_fused(monkeypatch):
+    # the production gate (batch >= 4) would route these small test batches
+    # to the fallback; force the fused path so it stays covered
+    monkeypatch.setattr(conv_mod, "FUSED_PAD_MIN_BATCH", 0)
+
+
+def test_batch_gate_routes_small_batches_to_fallback(monkeypatch):
+    monkeypatch.setattr(conv_mod, "FUSED_PAD_MIN_BATCH", 4)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(1, 16, 16, 3)).astype(np.float32))
+    kern = jnp.asarray(rng.normal(size=(3, 3, 3, 2)).astype(np.float32))
+    got = conv2d_reflect(x, kern, 1, 1, jnp.float32)
+    want = conv2d_nhwc(reflect_pad_2d(x, 1), kern, 1, 1, jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=0)
 
 
 def _ref(x, k, stride, dilation=1):

@@ -25,6 +25,15 @@ from uegan_tpu.ops.padding import reflect_pad_2d
 from uegan_tpu.ops.resize import upsample2x_align_corners
 
 
+@pytest.fixture(autouse=True)
+def _force_fused_pad(monkeypatch):
+    # production gates the fused pad fix-up on batch >= 4; these equivalence
+    # tests use tiny batches — force the fused path so it stays covered
+    import uegan_tpu.ops.conv as conv_mod
+
+    monkeypatch.setattr(conv_mod, "FUSED_PAD_MIN_BATCH", 0)
+
+
 def _conv(x, k, stride=1):
     return lax.conv_general_dilated(
         x, k, (stride, stride), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),

@@ -311,7 +311,7 @@ def packed_conv(
     the shape allows: the conv runs with implicit zero padding and the border
     output rows/cols (the only windows that read a pad) are overwritten with
     strips computed from packed-reflect-padded slabs of the border."""
-    from uegan_tpu.ops.conv import FUSED_PAD_CONV
+    from uegan_tpu.ops import conv as _convmod
 
     S = kp.shape[0]
     s1 = S - 1 - s0
@@ -333,7 +333,12 @@ def packed_conv(
     m = max(s0 + s1, p + 1)  # slab depth: enough rows for pad construction
     if p == 0:
         y = conv_valid(xp)
-    elif FUSED_PAD_CONV and lp > m + 2 * p and wp > m + 2 * p:
+    elif (
+        _convmod.FUSED_PAD_CONV
+        and xp.shape[0] >= _convmod.FUSED_PAD_MIN_BATCH
+        and lp > m + 2 * p
+        and wp > m + 2 * p
+    ):
         y = conv_valid(xp, padding=((s0, s1), (s0, s1)))
         wslice = slice(p - s0, p + wp + s1)
         if s0:

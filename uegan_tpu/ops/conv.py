@@ -33,6 +33,12 @@ Dtype = Any
 # A/B switch for benchmarking; identical numerics either way.
 FUSED_PAD_CONV = os.environ.get("UEGAN_TPU_FUSED_PAD", "1") != "0"
 
+# Measured crossover (512/1024/2048px sweeps, v5e): the fix-up strips win at
+# batch >= 4 (+5..14%) but lose badly at batch 1 (-15..-45%) — XLA's batch-1
+# conv specialization beats the strip/DUS plan there.  Read dynamically so
+# tests can force either path.
+FUSED_PAD_MIN_BATCH = int(os.environ.get("UEGAN_TPU_FUSED_PAD_MIN_BATCH", "4"))
+
 
 def conv2d_nhwc(
     x: jnp.ndarray,
@@ -94,8 +100,11 @@ def conv2d_reflect(
         return conv2d_nhwc(x, kernel, stride, dilation, dtype)
     n, h, w, _ = x.shape
     s = stride
+    import uegan_tpu.ops.conv as _self
+
     if (
-        not FUSED_PAD_CONV
+        not _self.FUSED_PAD_CONV
+        or n < _self.FUSED_PAD_MIN_BATCH
         or dilation != 1
         or h < k + 2 * pad
         or w < k + 2 * pad

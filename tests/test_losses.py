@@ -146,3 +146,28 @@ def test_perceptual_loss_structure(rng):
     diff = float(perceptual_loss(vgg, variables, x, y))
     assert same < 1e-6
     assert diff > 0.0
+
+
+def test_perceptual_packed_stage1_matches_canonical():
+    """Packed VGG stage-1 perceptual == canonical path (values and grads)."""
+    import jax
+    from uegan_tpu.losses.perceptual import perceptual_loss
+    from uegan_tpu.models.vgg import VGG19Features
+
+    vgg = VGG19Features(dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    variables = vgg.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    x = jnp.asarray(rng.uniform(0, 1, (2, 32, 32, 3)).astype(np.float32))
+    y = jnp.asarray(rng.uniform(0, 1, (2, 32, 32, 3)).astype(np.float32))
+
+    f_packed = jax.jit(lambda x, y: perceptual_loss(vgg, variables, x, y, packed_stage1=True))
+    f_canon = jax.jit(lambda x, y: perceptual_loss(vgg, variables, x, y, packed_stage1=False))
+    np.testing.assert_allclose(float(f_packed(x, y)), float(f_canon(x, y)), rtol=2e-5)
+
+    g_packed = jax.jit(jax.grad(lambda x: perceptual_loss(vgg, variables, x, y, packed_stage1=True)))
+    g_canon = jax.jit(jax.grad(lambda x: perceptual_loss(vgg, variables, x, y, packed_stage1=False)))
+    # abs-dominated tolerance: last-ulp conv differences can flip ReLU masks
+    # for borderline-zero activations, giving tiny absolute (but large
+    # relative) gradient differences
+    gp, gc = np.asarray(g_packed(x)), np.asarray(g_canon(x))
+    np.testing.assert_allclose(gp, gc, rtol=1e-3, atol=1e-4 * np.abs(gc).max())

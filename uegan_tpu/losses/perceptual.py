@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from typing import Dict
 
+import jax
 import jax.numpy as jnp
 
 from uegan_tpu.models.vgg import PERCEPTUAL_TAPS, VGG19Features, normalize_imagenet
@@ -30,11 +31,49 @@ def vgg_feature_weights() -> Dict[str, float]:
     return dict(_WEIGHTS)
 
 
+def _packed_stage1_features(vgg: VGG19Features, params, xin: Array):
+    """VGG stage 1 in the space-to-depth packed domain.
+
+    The full-res stage (conv1_1 3->64, conv1_2 64->64) is the
+    lane-degenerate part of VGG on TPU (3- and 64-channel tensors pad to 128
+    lanes).  Packing 2x2 phases into channels makes them 12/256-channel.
+    VGG convs are ZERO padded, and zero pads in the original domain are zero
+    packed rows, so the packed conv just uses XLA implicit padding — no
+    border fix-up.  pool1 (2x2/2 max) is exactly a max over the 4 phase
+    groups, exiting the packed domain for the canonical stages 2-5.
+
+    Returns (relu1_1 packed (N,H/2,W/2,256), pooled stage-2 input).
+    """
+    from uegan_tpu.infer.packed import pack_kernel_s1_traced, space_to_depth
+
+    dt = vgg.dtype
+    f32 = dt == jnp.float32
+
+    def conv_packed(h, name):
+        kp = pack_kernel_s1_traced(params[f"{name}_kernel"].astype(dt), 1)
+        y = jax.lax.conv_general_dilated(
+            h.astype(dt), kp, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32 if f32 else None,
+            precision=jax.lax.Precision.HIGHEST if f32 else jax.lax.Precision.DEFAULT,
+        )
+        b = jnp.tile(params[f"{name}_bias"].astype(y.dtype), 4)
+        return jax.nn.relu((y + b).astype(dt))
+
+    xp = space_to_depth(xin.astype(dt))
+    h1 = conv_packed(xp, "conv1_1")  # packed relu1_1
+    h2 = conv_packed(h1, "conv1_2")
+    n, hp, wp, _ = h2.shape
+    pooled = jnp.max(h2.reshape(n, hp, wp, 4, 64), axis=-2)  # pool1
+    return h1, pooled
+
+
 def perceptual_loss(
     vgg: VGG19Features,
     vgg_variables,
     x01: Array,
     y01: Array,
+    packed_stage1: bool = True,
 ) -> Array:
     """MSE over instance-normalized VGG taps; x01/y01 in [0,1] NHWC.
 
@@ -47,12 +86,34 @@ def perceptual_loss(
     # one batched VGG call for both inputs (per-sample network: equivalent
     # to two calls, half the kernel launches)
     b = x01.shape[0]
-    fboth = vgg.apply(vgg_variables, normalize_imagenet(jnp.concatenate([x01, y01], axis=0)))
+    xin = normalize_imagenet(jnp.concatenate([x01, y01], axis=0))
+    loss = jnp.float32(0.0)
+    if (
+        packed_stage1
+        and xin.shape[1] % 2 == 0
+        and xin.shape[2] % 2 == 0
+        and tuple(vgg.taps) == tuple(PERCEPTUAL_TAPS)
+    ):
+        from uegan_tpu.infer.packed import packed_instance_norm
+        from uegan_tpu.models.vgg import vgg_features_from
+
+        h1p, pooled = _packed_stage1_features(vgg, vgg_variables["params"], xin)
+        fboth = vgg_features_from(
+            vgg_variables["params"], pooled, vgg.dtype, start_stage=2, pooled_input=True
+        )
+        # relu1_1 term directly in the packed domain (per-original-channel
+        # instance norm = per-phase-group stats; MSE is over the same set)
+        a = packed_instance_norm(h1p[:b].astype(jnp.float32), 64)
+        c = packed_instance_norm(h1p[b:].astype(jnp.float32), 64)
+        loss = loss + _WEIGHTS["relu1_1"] * jnp.mean((a - c) ** 2)
+        taps = [t for t in PERCEPTUAL_TAPS if t != "relu1_1"]
+    else:
+        fboth = vgg.apply(vgg_variables, xin)
+        taps = list(PERCEPTUAL_TAPS)
     fx = {k: v[:b] for k, v in fboth.items()}
     fy = {k: v[b:] for k, v in fboth.items()}
-    loss = jnp.float32(0.0)
-    for tap in PERCEPTUAL_TAPS:
+    for tap in taps:
         a = instance_norm(fx[tap].astype(jnp.float32))
-        b = instance_norm(fy[tap].astype(jnp.float32))
-        loss = loss + _WEIGHTS[tap] * jnp.mean((a - b) ** 2)
+        c = instance_norm(fy[tap].astype(jnp.float32))
+        loss = loss + _WEIGHTS[tap] * jnp.mean((a - c) ** 2)
     return loss

@@ -115,6 +115,53 @@ class VGG19Features(nn.Module):
         return out
 
 
+def vgg_features_from(
+    params: Dict[str, jnp.ndarray],
+    h: jnp.ndarray,
+    dtype: Dtype,
+    taps: Tuple[str, ...] = PERCEPTUAL_TAPS,
+    start_stage: int = 1,
+    pooled_input: bool = False,
+) -> Dict[str, jnp.ndarray]:
+    """Run the VGG trunk from ``start_stage`` on an explicit param dict.
+
+    Same math as :class:`VGG19Features.__call__`; used by the packed
+    perceptual fast path to resume after a stage executed in the
+    space-to-depth domain (``pooled_input=True`` means the pool preceding
+    ``conv<start_stage>_1`` was already applied by the caller).
+    """
+    needed_stage = max(int(t[4]) for t in taps)
+    out: Dict[str, jnp.ndarray] = {}
+    h = h.astype(dtype)
+    skip_pool = pooled_input
+    f32 = dtype == jnp.float32
+    for name, feats in VGG19_CFG:
+        stage = int(name[4])
+        if stage < start_stage:
+            continue
+        if stage > needed_stage:
+            break
+        if name in _POOL_BEFORE:
+            if skip_pool:
+                skip_pool = False
+            else:
+                h = _max_pool_2x2(h)
+        h = lax.conv_general_dilated(
+            h,
+            params[f"{name}_kernel"].astype(dtype),
+            window_strides=(1, 1),
+            padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32 if f32 else None,
+            precision=lax.Precision.HIGHEST if f32 else lax.Precision.DEFAULT,
+        )
+        h = nn.relu((h + params[f"{name}_bias"].astype(h.dtype)).astype(dtype))
+        tap = "relu" + name[4:]
+        if tap in taps:
+            out[tap] = h
+    return out
+
+
 def normalize_imagenet(x01: jnp.ndarray) -> jnp.ndarray:
     """[0,1] RGB -> ImageNet-normalized (reference: losses.py:19-20,26-27)."""
     mean = jnp.asarray(IMAGENET_MEAN, dtype=jnp.float32)

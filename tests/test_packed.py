@@ -246,3 +246,23 @@ def test_packed_train_step_matches_canonical(rng):
         jax.tree_util.tree_leaves(outs[True][0].g_params),
     ):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-3, atol=1e-5)
+
+
+def test_packed_generator_fallback_pad_path(rng, monkeypatch):
+    """Generator-level equivalence with the production batch gate in place:
+    small batches route packed_conv through the materialized packed_reflect_pad
+    fallback, which must stay equivalent too."""
+    import uegan_tpu.ops.conv as conv_mod
+    from uegan_tpu.config import Config
+    from uegan_tpu.train.state import create_train_state
+    from uegan_tpu.train.step import make_eval_step
+
+    monkeypatch.setattr(conv_mod, "FUSED_PAD_MIN_BATCH", 4)
+    cfg = Config(compute_dtype="float32")
+    state, bundle = create_train_state(cfg, jax.random.PRNGKey(0), (32, 32), 1)
+    packed_fn = make_packed_eval(bundle, pack_generator_params(state.g_params, cfg.g_conv_dim))
+    canon = make_eval_step(bundle)
+    x = jnp.asarray(rng.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32))
+    got = jax.jit(lambda p, xx: packed_fn(p, xx))(state.g_params, x)
+    want = jax.jit(canon)(state.g_params, state.g_extra, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)

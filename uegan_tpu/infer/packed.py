@@ -124,6 +124,22 @@ def pack_kernel_1x1(kernel: np.ndarray) -> np.ndarray:
     return out
 
 
+def _interleave_perm(parts: Tuple[int, ...]) -> np.ndarray:
+    """Permutation mapping kernel-input-row index -> packed-tensor channel.
+
+    Desired kernel input order is [p, (part, c)]; the actual packed concat
+    lays channels [(part, p, c)].  Shared by the numpy (inference) and
+    traced (training) packers so the two layouts can never diverge.
+    """
+    perm = []
+    offsets = np.cumsum([0] + list(parts[:-1]))
+    for p in range(4):
+        for part, cp in enumerate(parts):
+            base = offsets[part] * 4 + p * cp
+            perm.extend(range(base, base + cp))
+    return np.asarray(perm)
+
+
 def interleave_input_channels(packed_kernel: np.ndarray, parts: List[int]) -> np.ndarray:
     """Reorder a packed kernel's input channels from phase-major-per-part
     concat order to concat-per-phase order.
@@ -134,15 +150,7 @@ def interleave_input_channels(packed_kernel: np.ndarray, parts: List[int]) -> np
     into the kernel keeps the concat free.
     """
     total = sum(parts)
-    perm = []
-    # desired input order (kernel rows) is [p, (part, c)]; actual tensor
-    # order is [(part, p, c)] -> build perm mapping kernel-row -> tensor idx
-    offsets = np.cumsum([0] + parts[:-1])
-    for p in range(4):
-        for part, cp in enumerate(parts):
-            base = offsets[part] * 4 + p * cp
-            perm.extend(range(base, base + cp))
-    inv = np.asarray(perm)
+    inv = _interleave_perm(tuple(parts))
     # kernel input index i corresponds to canonical [p,(part,c)]; tensor
     # channel inv[i] holds that value -> gather kernel rows to tensor order
     out = np.zeros_like(packed_kernel)
@@ -224,13 +232,7 @@ def _interleave_gather_idx(parts: Tuple[int, ...]) -> np.ndarray:
     """Gather indices g with out[..., j, :] = packed[..., g[j], :] equal to
     :func:`interleave_input_channels`'s scatter."""
     total = sum(parts)
-    perm = []
-    offsets = np.cumsum([0] + list(parts[:-1]))
-    for p in range(4):
-        for part, cp in enumerate(parts):
-            base = offsets[part] * 4 + p * cp
-            perm.extend(range(base, base + cp))
-    inv = np.asarray(perm)
+    inv = _interleave_perm(parts)
     g = np.empty(4 * total, np.int64)
     g[inv] = np.arange(4 * total)
     return g
@@ -428,6 +430,18 @@ def packed_instance_norm(xp: Array, c: int, eps: float = 1e-5) -> Array:
 # ---------------------------------------------------------------------------
 # packed generator (inference fast path)
 # ---------------------------------------------------------------------------
+# single source for each packed layer's (kernel size, original pad) — used
+# by the numpy packer, the traced packer, and the static s0 offsets so the
+# three can never disagree
+_PACK_PADS = {
+    "enc1": (7, 3),
+    "enc2": (3, 1),  # stride-2 consumer
+    "dec4": (3, 1),
+    "dec5_0": (3, 1),
+    "dec5_1": (7, 3),
+}
+
+
 def pack_generator_params(params: Dict, conv_dim: int) -> Dict[str, np.ndarray]:
     """Transform the canonical Generator params' full-res kernels.
 
@@ -438,20 +452,30 @@ def pack_generator_params(params: Dict, conv_dim: int) -> Dict[str, np.ndarray]:
     cd = conv_dim
     g = lambda *path: np.asarray(functools.reduce(lambda d, k: d[k], path, params))
     packed: Dict[str, np.ndarray] = {}
-    packed["enc1_k"], packed["enc1_s0"] = pack_kernel_s1(g("enc1", "conv", "kernel"), 3)
+    packed["enc1_k"], packed["enc1_s0"] = pack_kernel_s1(
+        g("enc1", "conv", "kernel"), _PACK_PADS["enc1"][1]
+    )
     # NOTE: level-2 packing of the 256-res region (enc2->L2, ga2/dec3/up3)
     # was implemented and measured SLOWER (352.8 vs 363.2 img/s): at C=64 the
     # 4x FLOP overhead beats the 2x bandwidth saving.  The transforms
     # (pack_kernel_s2_packed / packed_conv_s2) remain available and tested.
-    packed["enc2_k"], packed["enc2_s0"] = pack_kernel_s2(g("enc2", "conv", "kernel"), 1)
+    packed["enc2_k"], packed["enc2_s0"] = pack_kernel_s2(
+        g("enc2", "conv", "kernel"), _PACK_PADS["enc2"][1]
+    )
     packed["ga1_fuse_k"] = interleave_input_channels(
         pack_kernel_1x1(g("ga1", "fuse", "kernel")), [cd, cd]
     )
     packed["up4_k"] = pack_kernel_1x1(g("upsample4", "kernel"))
-    dec4_k, packed["dec4_s0"] = pack_kernel_s1(g("dec4", "conv", "kernel"), 1)
+    dec4_k, packed["dec4_s0"] = pack_kernel_s1(
+        g("dec4", "conv", "kernel"), _PACK_PADS["dec4"][1]
+    )
     packed["dec4_k"] = interleave_input_channels(dec4_k, [cd, cd])
-    packed["dec5_0_k"], packed["dec5_0_s0"] = pack_kernel_s1(g("dec5_0", "kernel"), 1)
-    packed["dec5_1_k"], packed["dec5_1_s0"] = pack_kernel_s1(g("dec5_1", "kernel"), 3)
+    packed["dec5_0_k"], packed["dec5_0_s0"] = pack_kernel_s1(
+        g("dec5_0", "kernel"), _PACK_PADS["dec5_0"][1]
+    )
+    packed["dec5_1_k"], packed["dec5_1_s0"] = pack_kernel_s1(
+        g("dec5_1", "kernel"), _PACK_PADS["dec5_1"][1]
+    )
     return packed
 
 
@@ -464,29 +488,31 @@ def pack_generator_params_traced(params, conv_dim: int) -> Dict[str, Array]:
     cd = conv_dim
     g = lambda *path: functools.reduce(lambda d, k: d[k], path, params)
     packed: Dict[str, Array] = {}
-    packed["enc1_k"] = pack_kernel_s1_traced(g("enc1", "conv", "kernel"), 3)
-    packed["enc2_k"] = pack_kernel_s2_traced(g("enc2", "conv", "kernel"), 1)
+    packed["enc1_k"] = pack_kernel_s1_traced(g("enc1", "conv", "kernel"), _PACK_PADS["enc1"][1])
+    packed["enc2_k"] = pack_kernel_s2_traced(g("enc2", "conv", "kernel"), _PACK_PADS["enc2"][1])
     packed["ga1_fuse_k"] = interleave_input_channels_traced(
         pack_kernel_1x1_traced(g("ga1", "fuse", "kernel")), [cd, cd]
     )
     packed["up4_k"] = pack_kernel_1x1_traced(g("upsample4", "kernel"))
     packed["dec4_k"] = interleave_input_channels_traced(
-        pack_kernel_s1_traced(g("dec4", "conv", "kernel"), 1), [cd, cd]
+        pack_kernel_s1_traced(g("dec4", "conv", "kernel"), _PACK_PADS["dec4"][1]), [cd, cd]
     )
-    packed["dec5_0_k"] = pack_kernel_s1_traced(g("dec5_0", "kernel"), 1)
-    packed["dec5_1_k"] = pack_kernel_s1_traced(g("dec5_1", "kernel"), 3)
+    packed["dec5_0_k"] = pack_kernel_s1_traced(g("dec5_0", "kernel"), _PACK_PADS["dec5_0"][1])
+    packed["dec5_1_k"] = pack_kernel_s1_traced(g("dec5_1", "kernel"), _PACK_PADS["dec5_1"][1])
     return packed
 
 
 def packed_s0_statics() -> Dict[str, int]:
-    """The (static) lead-pad offsets of each packed kernel."""
-    return {
-        "enc1_s0": -_tap_ranges(7, 3)[0],
-        "enc2_s0": 1,  # stride-2 consumer of k3/p1 (see pack_kernel_s2)
-        "dec4_s0": -_tap_ranges(3, 1)[0],
-        "dec5_0_s0": -_tap_ranges(3, 1)[0],
-        "dec5_1_s0": -_tap_ranges(7, 3)[0],
-    }
+    """The (static) lead-pad offsets of each packed kernel, derived from the
+    same _PACK_PADS geometry the packers use."""
+    out = {}
+    for name, (k, pad) in _PACK_PADS.items():
+        if name == "enc2":  # stride-2 consumer: s0 from pack_kernel_s2's taps
+            vals = [u - pad for u in range(k)]
+            out[f"{name}_s0"] = -min((v - (v & 1)) // 2 for v in vals)
+        else:
+            out[f"{name}_s0"] = -_tap_ranges(k, pad)[0]
+    return out
 
 
 def make_packed_eval(bundle, packed: Dict[str, np.ndarray] = None):

@@ -28,7 +28,6 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from uegan_tpu.ops.norms import feature_mean_std, instance_norm
-from uegan_tpu.ops.padding import reflect_pad_2d, same_reflect_padding
 from uegan_tpu.ops.spectral_norm import init_uv, spectral_normalize
 from uegan_tpu.models.initializers import get_initializer
 

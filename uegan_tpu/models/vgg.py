@@ -130,6 +130,11 @@ def vgg_features_from(
     space-to-depth domain (``pooled_input=True`` means the pool preceding
     ``conv<start_stage>_1`` was already applied by the caller).
     """
+    if pooled_input and start_stage < 2:
+        raise ValueError(
+            "pooled_input=True implies the pool before conv<start_stage>_1 "
+            "was already applied, but stage 1 has no preceding pool"
+        )
     needed_stage = max(int(t[4]) for t in taps)
     out: Dict[str, jnp.ndarray] = {}
     h = h.astype(dtype)

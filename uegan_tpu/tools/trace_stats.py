@@ -8,7 +8,8 @@ the XSpace proto directly and prints a per-HLO-op self-time table — enough
 to find hotspots without a browser.
 
 Usage:
-  python -m uegan_tpu.tools.trace_stats /tmp/trace_dir [--top 30] [--by-line]
+  python -m uegan_tpu.tools.trace_stats /tmp/trace_dir [--top 30] [--group]
+  python -m uegan_tpu.tools.trace_stats /tmp/trace_dir --categories
 
 Requires tensorflow (for the xplane proto) — gated import with a clear error.
 Run with PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION=python if the default C++

@@ -72,12 +72,9 @@ def make_train_step(bundle: ModelBundle) -> Callable[[TrainState, Dict], Tuple[T
     # live params at trace time (differentiable — infer/packed.py).  Equal
     # math to float tolerance, not bit-identical, hence opt-in.
     packed_g = None
-    if (
-        getattr(cfg, "packed_train", False)
-        and fuse_g
-        and g_model.norm_fun == "none"
-        and g_model.act_fun == "LeakyReLU"
-    ):
+    # fuse_g already guarantees no SN / no norm; the act check mirrors
+    # make_packed_eval's build-time assert
+    if getattr(cfg, "packed_train", False) and fuse_g and g_model.act_fun == "LeakyReLU":
         from uegan_tpu.infer.packed import make_packed_eval
 
         packed_g = make_packed_eval(bundle, None)

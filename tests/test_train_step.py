@@ -140,3 +140,47 @@ def test_fused_g_forward_matches_unfused():
         jax.tree_util.tree_leaves(s_fused.g_params), jax.tree_util.tree_leaves(s_unf.g_params)
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+def test_fused_d_exact_without_sn():
+    """fused_d batches D's forwards; without SN the math is identical
+    (same windows, batched scheduling) — equal to float tolerance."""
+    raw = jax.random.uniform(jax.random.PRNGKey(21), (2, 32, 32, 3), minval=-1, maxval=1)
+    exp = jax.random.uniform(jax.random.PRNGKey(22), (2, 32, 32, 3), minval=-1, maxval=1)
+
+    outs = {}
+    for fused in (False, True):
+        cfg = TINY.replace(d_use_sn=False, fused_d=fused)
+        state, bundle = create_train_state(cfg, jax.random.PRNGKey(0), (32, 32), 10)
+        s1, metrics, _ = jax.jit(make_train_step(bundle))(state, raw, exp)
+        outs[fused] = (s1, metrics)
+
+    m0, m1 = outs[False][1], outs[True][1]
+    for k in m0:
+        np.testing.assert_allclose(float(m1[k]), float(m0[k]), rtol=1e-5, atol=1e-7, err_msg=k)
+    # Adam normalizes by sqrt(g^2), amplifying near-zero-gradient elements;
+    # compare post-update params with an absolute tolerance well under the
+    # +-d_lr=4e-4 first-step magnitude
+    for a, b in zip(
+        jax.tree_util.tree_leaves(outs[False][0].d_params),
+        jax.tree_util.tree_leaves(outs[True][0].d_params),
+    ):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=0, atol=4e-5)
+
+
+def test_fused_d_with_sn_trains():
+    """With SN, fused_d is a documented deviation — it must still produce
+    finite losses and update the SN state once per phase."""
+    raw = jax.random.uniform(jax.random.PRNGKey(31), (2, 32, 32, 3), minval=-1, maxval=1)
+    exp = jax.random.uniform(jax.random.PRNGKey(32), (2, 32, 32, 3), minval=-1, maxval=1)
+    cfg = TINY.replace(fused_d=True)  # TINY has d_use_sn True by default
+    state, bundle = create_train_state(cfg, jax.random.PRNGKey(0), (32, 32), 10)
+    step = jax.jit(make_train_step(bundle))
+    s1, m1, _ = step(state, raw, exp)
+    s2, m2, _ = step(s1, raw, exp)
+    for k, v in m2.items():
+        assert np.isfinite(float(v)), k
+    # SN u vectors moved between steps
+    u1 = jax.tree_util.tree_leaves(s1.d_extra)
+    u2 = jax.tree_util.tree_leaves(s2.d_extra)
+    assert any(float(jnp.max(jnp.abs(a - b))) > 0 for a, b in zip(u1, u2))

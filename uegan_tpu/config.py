@@ -131,6 +131,11 @@ class Config:
     packed_inference: bool = True  # space-to-depth packed G inference
     # (1.57x measured; bit-equivalent to 1e-5; default-G-config only —
     # silently falls back to the canonical forward otherwise)
+    fused_d: bool = False  # batch all D inputs of a phase into one forward
+    # (3 fwd -> 1 in the D update, 2 -> 1 in the G update).  OFF by default:
+    # with spectral norm (the default D) it runs one power iteration per
+    # phase instead of one per forward — a deviation from the reference's
+    # torch-SN semantics.  Identical math when d_use_sn=False (test-enforced to float tolerance).
     packed_train: bool = True  # run the G forward in the train step packed
     # (kernels packed from the live params at trace time, differentiable;
     # +30% steps/s measured.  Same math as canonical to float tolerance but

@@ -114,8 +114,28 @@ def make_train_step(bundle: ModelBundle) -> Callable[[TrainState, Dict], Tuple[T
             pool, store = state.pool, jax.lax.stop_gradient(fake_exp)
 
         # ---- 3. D update (trainer.py:88-98) ----
+        # fused_d (opt-in, cfg.fused_d): all D inputs of a phase run as ONE
+        # batched forward.  Without spectral norm the math is identical
+        # (test-enforced); with SN (the default D) it is a documented
+        # deviation — one power iteration per phase instead of one per
+        # forward, and every branch sees the same normalized weights.
         def d_loss_fn(d_params):
             extra = state.d_extra
+            if cfg.fused_d:
+                parts = [img_exp, store] + ([img_raw] if cfg.adv_input else [])
+                preds, extra = _apply_with_extra(
+                    d_model, d_params, extra, jnp.concatenate(parts, axis=0),
+                    train=True, update_sn=True,
+                )
+                preds_real = [p[:batch] for p in preds]
+                preds_fake = [p[batch : 2 * batch] for p in preds]
+                loss = multiscale_gan_loss(preds_real, preds_fake, mode, for_discriminator=True)
+                if cfg.adv_input:
+                    preds_input = [p[2 * batch :] for p in preds]
+                    loss = loss + multiscale_gan_loss(
+                        preds_real, preds_input, mode, for_discriminator=True
+                    )
+                return loss, extra
             preds_real, extra = _apply_with_extra(
                 d_model, d_params, extra, img_exp, train=True, update_sn=True
             )
@@ -139,12 +159,20 @@ def make_train_step(bundle: ModelBundle) -> Callable[[TrainState, Dict], Tuple[T
         # ---- 4. G update against updated D (trainer.py:100-118) ----
         def g_losses(fake, idt_out):
             extra = d_extra1
-            preds_real, extra = _apply_with_extra(
-                d_model, d_params1, extra, img_exp, train=True, update_sn=True
-            )
-            preds_fake, extra = _apply_with_extra(
-                d_model, d_params1, extra, fake, train=True, update_sn=True
-            )
+            if cfg.fused_d:
+                preds, extra = _apply_with_extra(
+                    d_model, d_params1, extra, jnp.concatenate([img_exp, fake], axis=0),
+                    train=True, update_sn=True,
+                )
+                preds_real = [p[:batch] for p in preds]
+                preds_fake = [p[batch:] for p in preds]
+            else:
+                preds_real, extra = _apply_with_extra(
+                    d_model, d_params1, extra, img_exp, train=True, update_sn=True
+                )
+                preds_fake, extra = _apply_with_extra(
+                    d_model, d_params1, extra, fake, train=True, update_sn=True
+                )
             adv = cfg.lambda_adv * multiscale_gan_loss(
                 preds_real, preds_fake, mode, for_discriminator=False
             )

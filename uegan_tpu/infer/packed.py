@@ -382,10 +382,11 @@ def leaky(x: Array) -> Array:
 def packed_resize2x_align_corners(x: Array, out_hw: Tuple[int, int]) -> Array:
     """Bilinear x2 align-corners resize emitting PACKED output directly.
 
-    Output phase (di,dj) holds original output rows 2i+di — computed with
-    per-phase interpolation matrices on the MXU (the full-res tensor never
-    exists unpacked; matmul beat gathers at decoder shapes in ops/resize.py's
-    A/B and the same holds here)."""
+    Output phase (di,dj) holds original output rows 2i+di — one einsum with
+    the phase-split interpolation matrices produces all four phases with the
+    phase dims adjacent to the channel dim, so the packed channel layout is
+    a free reshape (the earlier 4-einsum + concat formulation cost a full
+    layout copy before the consuming conv: 376 -> 389 img/s at 512px B32)."""
     from uegan_tpu.ops.resize import _interp_matrix_np
 
     n, h, w, c = x.shape
@@ -395,14 +396,10 @@ def packed_resize2x_align_corners(x: Array, out_hw: Tuple[int, int]) -> Array:
     prec = (
         jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else jax.lax.Precision.DEFAULT
     )
-    phases = []
-    for di in (0, 1):
-        mhp = jnp.asarray(mh[di::2], x.dtype)  # (oh/2, h)
-        yh = jnp.einsum("oh,nhwc->nowc", mhp, x, precision=prec)
-        for dj in (0, 1):
-            mwp = jnp.asarray(mw[dj::2], x.dtype)
-            phases.append(jnp.einsum("pw,nowc->nopc", mwp, yh, precision=prec))
-    return jnp.concatenate(phases, axis=-1)  # phase-major: (di*2+dj)*C + c
+    mhp = jnp.asarray(mh.reshape(oh // 2, 2, h).transpose(1, 0, 2), x.dtype)  # (2, oh/2, h)
+    mwp = jnp.asarray(mw.reshape(ow // 2, 2, w).transpose(1, 0, 2), x.dtype)  # (2, ow/2, w)
+    y = jnp.einsum("eoh,fpw,nhwc->nopefc", mhp, mwp, x, precision=prec)
+    return y.reshape(n, oh // 2, ow // 2, 4 * c)  # phase-major: (e*2+f)*C + c
 
 
 def packed_gam_stats(xp: Array, c: int, eps: float = 1e-5) -> Tuple[Array, Array]:

@@ -22,10 +22,11 @@ import json
 import time
 
 A100_PYTORCH_IMG_PER_SEC_EST = 120.0
-BATCH = 32
+BATCH = 128  # measured throughput sweet spot (sweep: 32: 388, 96: 408-421,
+             # 128: 439, 160: 399 img/s on the v5e chip)
 HW = 512
 WARMUP = 3
-ITERS = 10
+ITERS = 4
 
 
 def main() -> None:

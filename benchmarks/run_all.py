@@ -34,7 +34,7 @@ def _force(x):
     return np.asarray(leaf[(0,) * leaf.ndim])
 
 
-def bench_inference(iters: int, hw: int = 512, batch: int = 32):
+def bench_inference(iters: int, hw: int = 512, batch: int = 128):
     import jax
     import numpy as np
 

@@ -154,3 +154,16 @@ def test_sn_state_advances_only_when_mutable():
     # eval path: no mutation requested, update_sn=False
     y = d.apply(variables, x, update_sn=False)
     assert y.shape == (1, 8, 8, 4)
+
+
+def test_gam_split_fuse_equivalent(rng):
+    """split_fuse=True (no broadcast/concat materialization) == the concat
+    formulation, on identical params."""
+    C = 16
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, C)).astype(np.float32))
+    base = GAM(out_nc=C, reduction=8, use_bias=False, use_sn=False, norm=True)
+    variables = base.init(jax.random.PRNGKey(3), x)
+    split = GAM(out_nc=C, reduction=8, use_bias=False, use_sn=False, norm=True, split_fuse=True)
+    a = np.asarray(base.apply(variables, x))
+    b = np.asarray(split.apply(variables, x))
+    np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-6)

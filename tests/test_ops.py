@@ -146,3 +146,65 @@ def test_spectral_normalize_no_update_uses_stored_uv(rng):
 def test_denorm():
     x = jnp.asarray([-1.5, -1.0, 0.0, 1.0, 2.0])
     np.testing.assert_allclose(np.asarray(denorm(x)), [0.0, 0.0, 0.5, 1.0, 1.0])
+
+
+def test_spectral_sigmas_matches_sequential_normalize(rng):
+    """spectral_sigmas(n) == the sigmas of n sequential spectral_normalize
+    calls (torch's n sequential train-mode forwards), with the same final
+    u/v state."""
+    from uegan_tpu.ops.spectral_norm import spectral_sigmas
+
+    kh, kw, cin, cout = 3, 3, 4, 6
+    w = jnp.asarray(rng.standard_normal((kh, kw, cin, cout)).astype(np.float32))
+    u = rng.standard_normal((cout,)).astype(np.float32)
+    u /= np.linalg.norm(u) + 1e-12
+    v = rng.standard_normal((cin * kh * kw,)).astype(np.float32)
+    v /= np.linalg.norm(v) + 1e-12
+
+    uu, vv = jnp.asarray(u), jnp.asarray(v)
+    want = []
+    for _ in range(3):
+        wn, uu, vv = spectral_normalize(w, uu, vv, update=True)
+        # sigma = w / wn elementwise; recover via ratio of one element
+        want.append(float(np.asarray(w).flat[0] / np.asarray(wn).flat[0]))
+    sig, u3, v3 = spectral_sigmas(w, jnp.asarray(u), jnp.asarray(v), 3, update=True)
+    np.testing.assert_allclose(np.asarray(sig), want, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(u3), np.asarray(uu), rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(v3), np.asarray(vv), rtol=1e-6, atol=1e-7)
+
+    # update=False: all branches see the stored-u/v sigma
+    sig0, u0_, v0_ = spectral_sigmas(w, jnp.asarray(u), jnp.asarray(v), 2, update=False)
+    s_expect = float(u @ np.asarray(kernel_to_matrix(w)) @ v)
+    np.testing.assert_allclose(np.asarray(sig0), [s_expect] * 2, rtol=1e-6)
+
+
+def test_snconv_sn_branches_matches_sequential_forwards(rng):
+    """SNConv(sn_branches=3) on a 3-branch batch == three sequential SNConv
+    forwards, each advancing the power iteration (torch semantics)."""
+    from uegan_tpu.models.blocks import SNConv
+
+    m = SNConv(features=5, kernel_size=3, use_sn=True, dtype=jnp.float32)
+    x = jnp.asarray(rng.standard_normal((6, 8, 8, 4)).astype(np.float32))
+    variables = m.init(jax.random.PRNGKey(0), x)
+    params, spectral = variables["params"], variables["spectral"]
+
+    # sequential: 3 forwards of batch 2, threading the spectral state
+    outs, spec = [], spectral
+    for i in range(3):
+        y, mut = m.apply(
+            {"params": params, "spectral": spec}, x[2 * i : 2 * i + 2],
+            update_sn=True, mutable=["spectral"],
+        )
+        outs.append(np.asarray(y))
+        spec = mut["spectral"]
+    want = np.concatenate(outs, axis=0)
+
+    got, mut = m.apply(
+        {"params": params, "spectral": spectral}, x,
+        update_sn=True, sn_branches=3, mutable=["spectral"],
+    )
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-6)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(spec), jax.tree_util.tree_leaves(mut["spectral"])
+    ):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-6, atol=1e-7)

@@ -131,11 +131,14 @@ class Config:
     packed_inference: bool = True  # space-to-depth packed G inference
     # (1.57x measured; bit-equivalent to 1e-5; default-G-config only —
     # silently falls back to the canonical forward otherwise)
-    fused_d: bool = False  # batch all D inputs of a phase into one forward
-    # (3 fwd -> 1 in the D update, 2 -> 1 in the G update).  OFF by default:
-    # with spectral norm (the default D) it runs one power iteration per
-    # phase instead of one per forward — a deviation from the reference's
-    # torch-SN semantics.  Identical math when d_use_sn=False (test-enforced to float tolerance).
+    fused_d: bool = True  # batch all D inputs of a phase into one forward
+    # (3 fwd -> 1 in the D update, 2 -> 1 in the G update; +8.6% steps/s).
+    # With spectral norm (the default D) each branch's conv output is scaled
+    # by its own per-power-iteration sigma (conv(x, W/s) == conv(x, W)/s), so
+    # the torch sequential-forward SN semantics are preserved EXACTLY —
+    # test-enforced against the sequential path.  Identical math when
+    # d_use_sn=False (bit-level, test-enforced).  Batch/Instance-norm Ds keep
+    # sequential forwards regardless (running stats would deviate).
     packed_train: bool = True  # run the G forward in the train step packed
     # (kernels packed from the live params at trace time, differentiable;
     # +30% steps/s measured.  Same math as canonical to float tolerance but

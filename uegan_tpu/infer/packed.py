@@ -418,8 +418,10 @@ def packed_instance_norm(xp: Array, c: int, eps: float = 1e-5) -> Array:
     """Non-affine instance norm per ORIGINAL channel (biased var) on packed."""
     n, hp, wp, _ = xp.shape
     acc = xp.astype(jnp.float32).reshape(n, hp, wp, 4, c)
+    # one-pass moments (see ops/norms.py)
     mean = jnp.mean(acc, axis=(1, 2, 3), keepdims=True)
-    var = jnp.mean(jnp.square(acc - mean), axis=(1, 2, 3), keepdims=True)
+    sq = jnp.mean(acc * acc, axis=(1, 2, 3), keepdims=True)
+    var = jnp.maximum(sq - mean * mean, 0.0)
     y = (acc - mean) * lax.rsqrt(var + eps)
     return y.reshape(n, hp, wp, 4 * c).astype(xp.dtype)
 
@@ -459,10 +461,15 @@ def pack_generator_params(params: Dict, conv_dim: int) -> Dict[str, np.ndarray]:
     packed["enc2_k"], packed["enc2_s0"] = pack_kernel_s2(
         g("enc2", "conv", "kernel"), _PACK_PADS["enc2"][1]
     )
-    packed["ga1_fuse_k"] = interleave_input_channels(
-        pack_kernel_1x1(g("ga1", "fuse", "kernel")), [cd, cd]
-    )
+    # split fuse: only the x-part of ga1's fuse kernel is packed; the h-part
+    # (spatially constant input) is applied as a per-image matmul at run time
+    packed["ga1_fuse_x_k"] = pack_kernel_1x1(g("ga1", "fuse", "kernel")[:, :, :cd, :])
     packed["up4_k"] = pack_kernel_1x1(g("upsample4", "kernel"))
+    # NOTE: splitting the dec concat convs (conv(concat([a,b])) == conv(a,Ka)
+    # + conv(b,Kb)) was measured SLOWER (450 vs 459 img/s at 512px B128): the
+    # split writes two full outputs plus an add, so HBM traffic is not reduced
+    # and the border fix-up strips double.  Only the GAM fuse split (where the
+    # second operand is spatially constant) pays.
     dec4_k, packed["dec4_s0"] = pack_kernel_s1(
         g("dec4", "conv", "kernel"), _PACK_PADS["dec4"][1]
     )
@@ -487,9 +494,7 @@ def pack_generator_params_traced(params, conv_dim: int) -> Dict[str, Array]:
     packed: Dict[str, Array] = {}
     packed["enc1_k"] = pack_kernel_s1_traced(g("enc1", "conv", "kernel"), _PACK_PADS["enc1"][1])
     packed["enc2_k"] = pack_kernel_s2_traced(g("enc2", "conv", "kernel"), _PACK_PADS["enc2"][1])
-    packed["ga1_fuse_k"] = interleave_input_channels_traced(
-        pack_kernel_1x1_traced(g("ga1", "fuse", "kernel")), [cd, cd]
-    )
+    packed["ga1_fuse_x_k"] = pack_kernel_1x1_traced(g("ga1", "fuse", "kernel")[:, :, :cd, :])
     packed["up4_k"] = pack_kernel_1x1_traced(g("upsample4", "kernel"))
     packed["dec4_k"] = interleave_input_channels_traced(
         pack_kernel_s1_traced(g("dec4", "conv", "kernel"), _PACK_PADS["dec4"][1]), [cd, cd]
@@ -546,8 +551,10 @@ def make_packed_eval(bundle, packed: Dict[str, np.ndarray] = None):
         )
 
     def gam(nc):
+        # split_fuse: the broadcast+concat before the 1x1 fuse is replaced by
+        # conv(x) + per-image matmul — exact same params, no full-size copy
         return GAM(out_nc=nc, reduction=8, use_bias=False, use_sn=False,
-                   norm=True, dtype=dt, param_dtype=gm.param_dtype)
+                   norm=True, split_fuse=True, dtype=dt, param_dtype=gm.param_dtype)
 
     def up(features):
         return SNConv(features=features, kernel_size=1, stride=1, use_bias=True,
@@ -596,11 +603,11 @@ def make_packed_eval(bundle, packed: Dict[str, np.ndarray] = None):
         sq = p["ga1"]["squeeze"]["kernel"][0, 0].astype(dt)  # (2cd, cd//8)
         ex = p["ga1"]["excite"]["kernel"][0, 0].astype(dt)  # (cd//8, cd)
         h = jax.nn.relu(stats @ sq) @ ex  # (n, cd)
-        hb = jnp.tile(h, (1, 4))[:, None, None, :]  # phase-major broadcast
-        ga_in = jnp.concatenate(
-            [x1p, jnp.broadcast_to(hb, x1p.shape[:3] + (4 * cd,))], -1
-        )
-        ga1p = conv1x1(ga_in, jnp.asarray(pk["ga1_fuse_k"]), p["ga1"]["fuse"]["bias"], cd)
+        # split fuse: conv only the x-part; h's contribution is a per-image
+        # matmul broadcast like a bias (identical for all 4 phases)
+        kh = p["ga1"]["fuse"]["kernel"][0, 0, cd:, :].astype(dt)  # (cd, cd)
+        ga1p = conv1x1(x1p, jnp.asarray(pk["ga1_fuse_x_k"]), p["ga1"]["fuse"]["bias"], cd)
+        ga1p = ga1p + jnp.tile(h @ kh, (1, 4))[:, None, None, :].astype(ga1p.dtype)
         ga1p = packed_instance_norm(ga1p, cd)
 
         # upsample4 is NOT commuted: the packed 1x1 conv runs on 128-lane

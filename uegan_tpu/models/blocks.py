@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from uegan_tpu.ops.norms import feature_mean_std, instance_norm
-from uegan_tpu.ops.spectral_norm import init_uv, spectral_normalize
+from uegan_tpu.ops.spectral_norm import init_uv, spectral_normalize, spectral_sigmas
 from uegan_tpu.models.initializers import get_initializer
 
 Dtype = Any
@@ -76,23 +76,69 @@ class SNConv(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, update_sn: bool = True) -> jnp.ndarray:
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        update_sn: bool = True,
+        aux: Optional[jnp.ndarray] = None,
+        sn_branches: int = 1,
+    ) -> jnp.ndarray:
+        """``aux``: optional (N, 1, 1, Ca) spatially-constant extra input.
+
+        Equivalent to calling the conv on ``concat([x, broadcast(aux)], -1)``
+        (the kernel keeps the concat shape), but the aux contribution is a
+        per-image (N, Ca) @ (Ca, F) matmul added as a bias — the broadcast
+        tensor and the concat copy are never materialized.  1x1/stride-1
+        only (the GAM fuse geometry).
+
+        ``sn_branches`` > 1: ``x`` is a batch-concat of that many equal-size
+        branches that torch would have run as sequential forwards.  With
+        spectral norm this runs ONE conv on the raw kernel and scales each
+        branch's output by its own 1/sigma_i (sigma after i power iterations)
+        — exact torch-SN semantics for the fused discriminator phases.
+        """
         k = self.kernel_size
-        cin = x.shape[-1]
+        caux = 0 if aux is None else aux.shape[-1]
+        cin = x.shape[-1] + caux
         kinit = self.kernel_init or get_initializer("orthogonal", 0.02)
         kernel = self.param("kernel", kinit, (k, k, cin, self.features), self.param_dtype)
+        post_scale = None
         if self.use_sn:
             kshape = (k, k, cin, self.features)
             uv0 = lambda: init_uv(self.make_rng("params"), kshape)
             u = self.variable("spectral", "u", lambda: uv0()[0])
             v = self.variable("spectral", "v", lambda: uv0()[1])
-            w, u_new, v_new = spectral_normalize(kernel, u.value, v.value, update=update_sn)
+            if sn_branches > 1:
+                sig, u_new, v_new = spectral_sigmas(
+                    kernel, u.value, v.value, sn_branches, update=update_sn
+                )
+                w, post_scale = kernel, sig
+            else:
+                w, u_new, v_new = spectral_normalize(kernel, u.value, v.value, update=update_sn)
             if update_sn and not self.is_initializing() and self.is_mutable_collection("spectral"):
                 u.value = u_new
                 v.value = v_new
         else:
             w = kernel
-        y = conv2d_reflect(x, w, self.stride, self.dilation, self.dtype)
+        if aux is None:
+            y = conv2d_reflect(x, w, self.stride, self.dilation, self.dtype)
+        else:
+            assert k == 1 and self.stride == 1 and self.dilation == 1, (
+                "aux (split-concat) input requires a 1x1 stride-1 conv"
+            )
+            cx = x.shape[-1]
+            y = conv2d_reflect(x, w[:, :, :cx, :], 1, 1, self.dtype)
+            hv = jnp.einsum(
+                "nc,cf->nf",
+                aux.reshape(aux.shape[0], caux).astype(self.dtype),
+                w[0, 0, cx:, :].astype(self.dtype),
+            )
+            y = y + hv[:, None, None, :].astype(y.dtype)
+        if post_scale is not None:
+            n = x.shape[0]
+            assert n % sn_branches == 0, "sn_branches must divide the batch"
+            scale = jnp.repeat(1.0 / post_scale, n // sn_branches)  # (N,) f32
+            y = (y.astype(jnp.float32) * scale[:, None, None, None]).astype(self.dtype)
         if self.use_bias:
             b = self.param("bias", jax.nn.initializers.zeros, (self.features,), self.param_dtype)
             y = y + b.astype(y.dtype)
@@ -174,7 +220,9 @@ class ConvBlock(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = True, update_sn: bool = True) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, train: bool = True, update_sn: bool = True, sn_branches: int = 1
+    ) -> jnp.ndarray:
         y = SNConv(
             features=self.features,
             kernel_size=self.kernel_size,
@@ -186,7 +234,7 @@ class ConvBlock(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="conv",
-        )(x, update_sn=update_sn)
+        )(x, update_sn=update_sn, sn_branches=sn_branches)
         y = NormLayer(
             kind=self.norm_fun,
             features=self.features,
@@ -247,6 +295,11 @@ class GAM(nn.Module):
     use_bias: bool = False
     use_sn: bool = False
     norm: bool = True
+    # split_fuse skips materializing the broadcast+concat before the 1x1 fuse
+    # conv: fuse(concat([x, bcast(h)])) == conv(x, W_x) + h @ W_h + b exactly
+    # (same params; only f32-summation order differs).  Saves a full-size HBM
+    # write+read per GAM — used by the packed fast paths.
+    split_fuse: bool = False
     kernel_init: Optional[Callable] = None
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
@@ -277,9 +330,7 @@ class GAM(nn.Module):
             param_dtype=self.param_dtype,
             name="excite",
         )(h)
-        hb = jnp.broadcast_to(h, x.shape[:3] + (h.shape[-1],))
-        out = jnp.concatenate([x, hb], axis=-1)
-        out = SNConv(
+        fuse = SNConv(
             features=self.out_nc,
             kernel_size=1,
             use_bias=True,
@@ -288,7 +339,13 @@ class GAM(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="fuse",
-        )(out, update_sn=update_sn)
+        )
+        if self.split_fuse:
+            out = fuse(x, update_sn=update_sn, aux=h)
+        else:
+            hb = jnp.broadcast_to(h, x.shape[:3] + (h.shape[-1],))
+            out = jnp.concatenate([x, hb], axis=-1)
+            out = fuse(out, update_sn=update_sn)
         if self.norm:
             out = instance_norm(out)  # non-affine, eps=1e-5 (models.py:227)
         return out

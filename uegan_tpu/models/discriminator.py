@@ -33,8 +33,15 @@ class Discriminator(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jnp.ndarray, train: bool = True, update_sn: bool = True
+        self,
+        x: jnp.ndarray,
+        train: bool = True,
+        update_sn: bool = True,
+        sn_branches: int = 1,
     ) -> List[jnp.ndarray]:
+        """``sn_branches`` > 1: ``x`` batch-concats that many branches torch
+        would run sequentially; each SN conv scales each branch by its own
+        per-iteration sigma (exact fused-forward SN semantics — see SNConv)."""
         cd = self.conv_dim
         stage_cfg = [  # (features, stage kernel) — reference: models.py:109-126
             (cd * 1, 7),
@@ -45,7 +52,7 @@ class Discriminator(nn.Module):
         ]
         preds = []
         h = x
-        block_cls = nn.remat(ConvBlock, static_argnums=(2, 3)) if self.remat else ConvBlock
+        block_cls = nn.remat(ConvBlock, static_argnums=(2, 3, 4)) if self.remat else ConvBlock
         for i, (feat, k) in enumerate(stage_cfg, start=1):
             h = block_cls(
                 features=feat,
@@ -59,7 +66,7 @@ class Discriminator(nn.Module):
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name=f"d{i}",
-            )(h, train, update_sn)
+            )(h, train, update_sn, sn_branches)
             preds.append(
                 PredConvBlock(
                     kernel_size=k,

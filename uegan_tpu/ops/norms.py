@@ -22,8 +22,11 @@ def instance_norm(
 ) -> jnp.ndarray:
     """Per-instance, per-channel normalization over H,W (biased variance)."""
     acc = x.astype(jnp.float32)
+    # one HBM pass for both moments (like feature_mean_std): the centered
+    # two-pass form re-reads the full feature map for the variance
     mean = jnp.mean(acc, axis=(1, 2), keepdims=True)
-    var = jnp.mean(jnp.square(acc - mean), axis=(1, 2), keepdims=True)
+    sq = jnp.mean(acc * acc, axis=(1, 2), keepdims=True)
+    var = jnp.maximum(sq - mean * mean, 0.0)
     y = (acc - mean) * jax_rsqrt(var + eps)
     if scale is not None:
         y = y * scale

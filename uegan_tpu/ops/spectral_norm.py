@@ -71,3 +71,34 @@ def spectral_normalize(
     v1 = jax.lax.stop_gradient(v1)
     sigma = jnp.dot(u1, w_mat @ v1)
     return (kernel / sigma.astype(kernel.dtype)), u1, v1
+
+
+def spectral_sigmas(
+    kernel: jnp.ndarray,
+    u: jnp.ndarray,
+    v: jnp.ndarray,
+    n: int,
+    update: bool = True,
+    eps: float = 1e-12,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-forward sigmas for ``n`` sequential train-mode forwards.
+
+    Torch's spectral norm runs one power iteration per forward, so ``n``
+    forwards of the same module between weight updates see ``n`` different
+    sigmas (forward i normalizes by the estimate after i iterations).  This
+    returns all of them at once — the basis for running those ``n`` forwards
+    as ONE batched conv on the raw kernel with per-branch output scaling
+    (conv(x, W/sigma) == conv(x, W)/sigma), keeping torch-SN semantics exact.
+
+    Returns (sigmas shaped (n,), u_n, v_n).  Gradient flows through W in each
+    sigma (u_i, v_i are stop-gradient), matching torch.
+    """
+    w_mat = kernel_to_matrix(kernel.astype(jnp.float32))
+    sigmas = []
+    uu, vv = u, v
+    for _ in range(n):
+        if update:
+            vv = jax.lax.stop_gradient(_l2normalize(w_mat.T @ uu, eps))
+            uu = jax.lax.stop_gradient(_l2normalize(w_mat @ vv, eps))
+        sigmas.append(jnp.dot(uu, w_mat @ vv))
+    return jnp.stack(sigmas), uu, vv

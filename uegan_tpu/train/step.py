@@ -79,6 +79,14 @@ def make_train_step(bundle: ModelBundle) -> Callable[[TrainState, Dict], Tuple[T
 
         packed_g = make_packed_eval(bundle, None)
 
+    # fused_d: all D inputs of a phase run as ONE batched forward.  With
+    # spectral norm (the default D) each branch's output is scaled by its own
+    # per-iteration sigma (SNConv sn_branches) — exact torch-SN semantics, so
+    # this is on by default.  Batch/Instance norm running stats would still
+    # see one fused batch instead of sequential ones, so those configs keep
+    # the sequential forwards.
+    fuse_d = cfg.fused_d and cfg.d_norm_fun == "none"
+
     def train_step(state: TrainState, img_raw: jnp.ndarray, img_exp: jnp.ndarray):
         rng, k_pool = jax.random.split(state.rng)
         batch = img_raw.shape[0]
@@ -114,18 +122,17 @@ def make_train_step(bundle: ModelBundle) -> Callable[[TrainState, Dict], Tuple[T
             pool, store = state.pool, jax.lax.stop_gradient(fake_exp)
 
         # ---- 3. D update (trainer.py:88-98) ----
-        # fused_d (opt-in, cfg.fused_d): all D inputs of a phase run as ONE
-        # batched forward.  Without spectral norm the math is identical
-        # (test-enforced); with SN (the default D) it is a documented
-        # deviation — one power iteration per phase instead of one per
-        # forward, and every branch sees the same normalized weights.
+        # fused_d: all D inputs of a phase run as ONE batched forward; with
+        # SN each branch is scaled by its own per-iteration sigma (exact
+        # torch semantics — see SNConv).  Without SN the math is identical
+        # (test-enforced).
         def d_loss_fn(d_params):
             extra = state.d_extra
-            if cfg.fused_d:
+            if fuse_d:
                 parts = [img_exp, store] + ([img_raw] if cfg.adv_input else [])
                 preds, extra = _apply_with_extra(
                     d_model, d_params, extra, jnp.concatenate(parts, axis=0),
-                    train=True, update_sn=True,
+                    train=True, update_sn=True, sn_branches=len(parts),
                 )
                 preds_real = [p[:batch] for p in preds]
                 preds_fake = [p[batch : 2 * batch] for p in preds]
@@ -159,10 +166,10 @@ def make_train_step(bundle: ModelBundle) -> Callable[[TrainState, Dict], Tuple[T
         # ---- 4. G update against updated D (trainer.py:100-118) ----
         def g_losses(fake, idt_out):
             extra = d_extra1
-            if cfg.fused_d:
+            if fuse_d:
                 preds, extra = _apply_with_extra(
                     d_model, d_params1, extra, jnp.concatenate([img_exp, fake], axis=0),
-                    train=True, update_sn=True,
+                    train=True, update_sn=True, sn_branches=2,
                 )
                 preds_real = [p[:batch] for p in preds]
                 preds_fake = [p[batch:] for p in preds]

@@ -18,6 +18,8 @@ import time
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(prog="profile-step")
     p.add_argument("--mode", choices=["train", "eval"], default="eval")
+    p.add_argument("--packed", action="store_true",
+                   help="eval mode: profile the packed fast path (the production inference path)")
     p.add_argument("--hw", type=int, default=512)
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--steps", type=int, default=10)
@@ -46,7 +48,12 @@ def main(argv=None) -> None:
     rng = np.random.default_rng(0)
 
     if args.mode == "eval":
-        fn = jax.jit(make_eval_step(bundle))
+        if args.packed:
+            from uegan_tpu.infer.packed import make_fast_eval
+
+            fn = jax.jit(make_fast_eval(bundle, state.g_params))
+        else:
+            fn = jax.jit(make_eval_step(bundle))
         x = jax.device_put(rng.uniform(-1, 1, (args.batch, args.hw, args.hw, 3)).astype("float32"), dev)
         run = lambda: fn(state.g_params, state.g_extra, x)
     else:

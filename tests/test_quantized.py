@@ -1,0 +1,112 @@
+"""int8 quantized packed inference (infer/quantized.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from uegan_tpu.config import Config
+from uegan_tpu.train.state import create_train_state
+
+
+def _psnr(a, b):
+    mse = float(np.mean((np.asarray(a, np.float64) - np.asarray(b, np.float64)) ** 2))
+    return 10.0 * np.log10(4.0 / max(mse, 1e-12))  # range [-1,1] -> peak 2
+
+
+def test_quantize_weights_roundtrip():
+    from uegan_tpu.infer.quantized import quantize_weights
+
+    rng = np.random.default_rng(0)
+    w = rng.standard_normal((3, 3, 8, 16)).astype(np.float32)
+    in_sc = rng.uniform(0.5, 2.0, 8).astype(np.float32)
+    wq, s_out = quantize_weights(w, in_sc)
+    assert wq.dtype == np.int8 and s_out.shape == (16,)
+    # dequantized effective kernel ~= w * in_sc (per-cout 1/254 relative grid)
+    w_eff = w * in_sc[None, None, :, None]
+    back = wq.astype(np.float64) * s_out
+    np.testing.assert_allclose(back, w_eff, atol=float(np.abs(w_eff).max()) / 120)
+
+
+def test_int8_conv_matches_float_conv():
+    """conv(x_q, w_q) * s_out ~= conv(x, w) — the scale-folding identity."""
+    from uegan_tpu.infer.quantized import quantize_act, quantize_weights
+
+    rng = np.random.default_rng(1)
+    x = rng.uniform(-3, 3, (2, 8, 8, 8)).astype(np.float32)
+    w = rng.standard_normal((1, 1, 8, 16)).astype(np.float32)
+    s_x = 3.0 / 127.0
+    wq, s_out = quantize_weights(w, s_x)
+    xq = quantize_act(jnp.asarray(x), s_x)
+    yq = jax.lax.conv_general_dilated(
+        xq, jnp.asarray(wq), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    got = np.asarray(yq, np.float64) * s_out
+    want = jax.lax.conv_general_dilated(
+        jnp.asarray(x), jnp.asarray(w), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    err = np.abs(got - np.asarray(want))
+    assert float(err.max()) < 0.15 * float(np.abs(np.asarray(want)).max()) + 0.05
+
+
+def test_config_routes_to_int8():
+    """make_fast_eval honors Config.quantized_inference='int8'."""
+    from uegan_tpu.infer.packed import make_fast_eval
+
+    cfg = Config(compute_dtype="bfloat16", quantized_inference="int8")
+    state, bundle = create_train_state(cfg, jax.random.PRNGKey(0), (32, 32), 1)
+    fn = make_fast_eval(bundle, state.g_params)
+    x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    y = jax.jit(fn)(state.g_params, state.g_extra, x)
+    assert y.shape == x.shape
+
+    with pytest.raises(ValueError, match="quantized_inference"):
+        Config(quantized_inference="fp8").validate()
+
+
+@pytest.mark.slow
+def test_int8_packed_forward_close_to_bf16():
+    """End-to-end: the int8 packed forward agrees with the bf16 packed
+    forward to >= 30 dB PSNR (documented opt-in quantization error).
+
+    At random init (0.02-std kernels decaying through ~10 layers) the
+    generator's tanh residual is ~1e-8 — far below one bf16 output ulp, so
+    int8-vs-bf16 would compare bit-identical tensors and test nothing.
+    Renormalizing every conv kernel to unit fan-in gain makes activations
+    stay O(1) through the network (trained-model-like; measured residual
+    mean ~0.16), so the comparison exercises every quantized layer's error
+    propagation.  Measured: 45.5 dB.
+    """
+    from uegan_tpu.infer.packed import make_packed_eval, pack_generator_params
+    from uegan_tpu.infer.quantized import make_int8_eval
+
+    cfg = Config(compute_dtype="bfloat16")
+    state, bundle = create_train_state(cfg, jax.random.PRNGKey(0), (64, 64), 1)
+    g_params = jax.device_get(state.g_params)
+
+    def renorm(t):
+        for k, v in t.items():
+            if isinstance(v, dict):
+                renorm(v)
+            elif k == "kernel" and np.ndim(v) == 4:
+                gain = float(np.std(v)) * np.sqrt(float(np.prod(v.shape[:3])))
+                t[k] = v * (1.0 / max(gain, 1e-8))
+
+    renorm(g_params)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.uniform(-1, 1, (2, 64, 64, 3)).astype(np.float32))
+
+    packed = pack_generator_params(g_params, bundle.g_model.conv_dim)
+    ref = jax.jit(make_packed_eval(bundle, packed))(g_params, x)
+    assert float(np.abs(np.asarray(ref, np.float32) - np.asarray(x)).max()) > 0.05, (
+        "residual too small — the comparison would be vacuous"
+    )
+    fn = make_int8_eval(bundle, g_params, calib_batch=np.asarray(x))
+    got = jax.jit(fn)(None, None, x)
+    assert got.shape == ref.shape
+    psnr = _psnr(got, ref)
+    assert psnr >= 30.0, f"int8-vs-bf16 PSNR {psnr:.2f} dB"
+    assert not np.array_equal(np.asarray(got), np.asarray(ref))

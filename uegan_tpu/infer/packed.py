@@ -320,6 +320,7 @@ def packed_conv(
     p = max(s0, s1)
     lp, wp = xp.shape[1], xp.shape[2]
     f32 = dtype == jnp.float32
+    int8 = dtype == jnp.int8  # int8 operands, int32 accumulator output
 
     def conv_valid(t, padding="VALID"):
         return lax.conv_general_dilated(
@@ -328,7 +329,7 @@ def packed_conv(
             window_strides=(1, 1),
             padding=padding,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32 if f32 else None,
+            preferred_element_type=jnp.float32 if f32 else (jnp.int32 if int8 else None),
             precision=lax.Precision.HIGHEST if f32 else lax.Precision.DEFAULT,
         )
 
@@ -372,7 +373,7 @@ def packed_conv(
         else:
             b = bias.astype(y.dtype)
         y = y + b
-    return y.astype(dtype)
+    return y if int8 else y.astype(dtype)
 
 
 def leaky(x: Array) -> Array:
@@ -616,6 +617,10 @@ def make_packed_eval(bundle, packed: Dict[str, np.ndarray] = None):
         h4, w4 = x.shape[1], x.shape[2]
         up4 = packed_resize2x(y3, (h4, w4))
         up4 = conv1x1(up4, jnp.asarray(pk["up4_k"]), p["upsample4"]["bias"], cd)
+        # NOTE: splitting this conv (conv(up4,Ka)+conv(ga1p,Kb), killing the
+        # concat + its 12.8 ms layout copy) measured EQUAL within noise
+        # (465-466 vs 461-470 img/s): the saved copy is offset by the second
+        # conv output write and doubled border strips.  Kept fused.
         y4p = leaky(packed_conv(
             jnp.concatenate([up4, ga1p], -1), pk["dec4_k"],
             dec4_s0, [cd, cd], p["dec4"]["conv"]["bias"], dt,
@@ -653,6 +658,10 @@ def make_fast_eval(bundle, g_params):
     )
     if not eligible:
         return make_eval_step(bundle)
+    if getattr(bundle.config, "quantized_inference", "") == "int8":
+        from uegan_tpu.infer.quantized import make_int8_eval
+
+        return make_int8_eval(bundle, g_params)
     packed = pack_generator_params(jax.device_get(g_params), gm.conv_dim)
     packed_fn = make_packed_eval(bundle, packed)
     return lambda params, extra, x: packed_fn(params, x)

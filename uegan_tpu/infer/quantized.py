@@ -1,0 +1,331 @@
+"""Opt-in int8 quantized packed inference.
+
+The packed (space-to-depth) forward pays ~4x dense FLOPs for full 128-lane
+MXU utilization (infer/packed.py); its convs sit AT the bf16 MXU roofline
+(OPTIMIZATION_NOTES.md).  The v5e MXU runs int8 at 2x the bf16 rate and int8
+activations halve HBM traffic, so quantizing exactly those packed full-res
+convs buys back the overhead.  Measured on the v5e chip (tools/bench_int8.py,
+512px B=128): 469.6 -> 522.4 img/s (+11%) — the quantized convs themselves
+speed up ~1.8x (chained-conv microbenchmark incl. requant ops) but the
+untouched bandwidth work (resize einsum, norms, requant, layout moves)
+bounds the end-to-end gain.  Accuracy: 45.5 dB PSNR vs the bf16 packed
+forward on a unit-gain (trained-magnitude) network (tests/test_quantized.py).
+
+Scheme (standard symmetric int8):
+- weights: per-output-channel scales over the PACKED kernels, with each
+  input tensor's activation scale folded into its kernel rows first (so a
+  concat of differently-scaled int8 tensors needs no per-channel dequant).
+- activations: per-tensor scales from a one-shot calibration forward (bf16
+  packed forward instrumented with max-|x| taps); the [-1,1] network input
+  is scale 1/127 by construction.
+- convs accumulate in int32; dequant + bias + activation run fused in
+  bf16/f32; the next conv's input is requantized to int8.
+- the interior (<=quarter-res canonical stages), GAM statistics/instance
+  norms, the bilinear resize, and the global residual stay bf16/f32 — they
+  are bandwidth/VPU work where int8 buys little and risks accuracy.
+
+This path changes outputs (quantization error vs the bf16 forward — the
+equivalence test asserts >=30 dB agreement, not bitness), hence OPT-IN:
+``Config.quantized_inference = "int8"`` or ``make_int8_eval`` directly.
+The reference has no quantization story (pure fp32 torch); this subsystem is
+a TPU-native addition.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.lax as lax
+import jax.numpy as jnp
+import numpy as np
+
+from uegan_tpu.infer.packed import (
+    _PACK_PADS,
+    depth_to_space,
+    leaky,
+    make_packed_eval,
+    pack_generator_params,
+    packed_conv,
+    packed_gam_stats,
+    packed_instance_norm,
+    packed_resize2x,
+    packed_s0_statics,
+    space_to_depth,
+)
+
+Array = jnp.ndarray
+
+INPUT_SCALE = 1.0 / 127.0  # network input is [-1, 1] by contract
+
+# activation-scale taps, in forward order
+SCALE_KEYS = ("x1p", "ga1p", "resize4", "up4", "mod", "h5")
+
+
+def quantize_weights(
+    w: np.ndarray, in_scale: np.ndarray | float
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-output-channel symmetric int8 quantization of a conv kernel.
+
+    ``in_scale`` (scalar or per-input-channel vector) is folded into the
+    kernel before quantization, so int8 inputs feed the conv directly and
+    one per-output-channel dequant recovers the float result:
+    ``conv(x, w * s_in) == conv(x_q, w_q) * s_out`` up to rounding.
+    """
+    w = np.asarray(w, np.float64)
+    if np.ndim(in_scale) > 0:
+        w = w * np.asarray(in_scale, np.float64)[None, None, :, None]
+    else:
+        w = w * float(in_scale)
+    s_out = np.max(np.abs(w), axis=(0, 1, 2)) / 127.0
+    s_out = np.where(s_out > 0, s_out, 1.0)
+    wq = np.clip(np.rint(w / s_out), -127, 127).astype(np.int8)
+    return wq, s_out.astype(np.float32)
+
+
+def quantize_act(x: Array, scale: float) -> Array:
+    """Symmetric per-tensor int8 quantization (round-to-nearest-even)."""
+    y = jnp.round(x.astype(jnp.float32) * (1.0 / scale))
+    return jnp.clip(y, -127, 127).astype(jnp.int8)
+
+
+def _conv_q(xq: Array, wq: Array, s0: int, c_in) -> Array:
+    """int8 packed conv -> int32 accumulator (reflect semantics)."""
+    return packed_conv(xq, wq, s0, c_in, bias=None, dtype=jnp.int8)
+
+
+def _deq(y_i32: Array, w_scale: np.ndarray, bias: Array, tile_bias: bool) -> Array:
+    """int32 conv accumulator -> bf16, folding the per-cout scales + bias.
+
+    ``w_scale`` is per KERNEL output channel (already per-packed-channel for
+    packed kernels); the bias is per ORIGINAL channel and tiles over the 4
+    phase groups when the output is packed.
+    """
+    y = y_i32.astype(jnp.float32) * jnp.asarray(w_scale, jnp.float32)
+    if bias is not None:
+        b = jnp.tile(bias, 4) if tile_bias else bias
+        y = y + b.astype(jnp.float32)
+    return y.astype(jnp.bfloat16)
+
+
+def calibrate(bundle, g_params, x_cal: Array) -> Dict[str, float]:
+    """One-shot activation-range calibration.
+
+    Runs the bf16 packed forward instrumented with max-|value| taps at every
+    quantization point and returns per-tensor scales (max/127).  ``x_cal``
+    should be a representative batch in [-1, 1]; shapes need not match later
+    inference shapes (the generator is fully convolutional).
+    """
+    host = jax.device_get(g_params)
+    pk = pack_generator_params(host, bundle.g_model.conv_dim)
+    fn = jax.jit(lambda x: _forward_bf16_taps(bundle, pk, host, x))
+    _, maxes = fn(x_cal)
+    return {k: max(float(v), 1e-6) / 127.0 for k, v in maxes.items()}
+
+
+def _forward_bf16_taps(bundle, pk, p, x):
+    """The bf16 packed forward, also returning max-|x| at each quant tap.
+
+    Mirrors make_packed_eval's graph (same helpers) so the collected ranges
+    are exactly the tensors the int8 path will quantize.
+    """
+    gm = bundle.g_model
+    cd = gm.conv_dim
+    dt = jnp.bfloat16
+    s0s = packed_s0_statics()
+    maxes = {}
+
+    def tap(name, t):
+        maxes[name] = jnp.max(jnp.abs(t.astype(jnp.float32)))
+        return t
+
+    xp = space_to_depth(x.astype(dt))
+    x1p = tap("x1p", leaky(packed_conv(xp, jnp.asarray(pk["enc1_k"]), s0s["enc1_s0"], 3,
+                                       jnp.asarray(p["enc1"]["conv"]["bias"]), dt)))
+    x2 = leaky(packed_conv(x1p, jnp.asarray(pk["enc2_k"]), s0s["enc2_s0"], cd,
+                           jnp.asarray(p["enc2"]["conv"]["bias"]), dt))
+    y3 = _interior(bundle, p, x2)
+
+    mean, std = packed_gam_stats(x1p, cd)
+    stats = jnp.concatenate([mean, std], -1).astype(dt)
+    sq = jnp.asarray(p["ga1"]["squeeze"]["kernel"])[0, 0].astype(dt)
+    ex = jnp.asarray(p["ga1"]["excite"]["kernel"])[0, 0].astype(dt)
+    h = jax.nn.relu(stats @ sq) @ ex
+    kh = jnp.asarray(p["ga1"]["fuse"]["kernel"])[0, 0, cd:, :].astype(dt)
+    ga1p = _conv1x1_bf(x1p, jnp.asarray(pk["ga1_fuse_x_k"]),
+                       jnp.asarray(p["ga1"]["fuse"]["bias"]))
+    ga1p = ga1p + jnp.tile(h @ kh, (1, 4))[:, None, None, :].astype(ga1p.dtype)
+    ga1p = tap("ga1p", packed_instance_norm(ga1p, cd))
+
+    h4, w4 = x.shape[1], x.shape[2]
+    r4 = tap("resize4", packed_resize2x(y3, (h4, w4)))
+    up4 = tap("up4", _conv1x1_bf(r4, jnp.asarray(pk["up4_k"]),
+                                 jnp.asarray(p["upsample4"]["bias"])))
+    y4p = leaky(packed_conv(jnp.concatenate([up4, ga1p], -1), jnp.asarray(pk["dec4_k"]),
+                            s0s["dec4_s0"], [cd, cd], jnp.asarray(p["dec4"]["conv"]["bias"]), dt))
+    mod = tap("mod", y4p * x1p)
+    h5 = tap("h5", packed_conv(mod, jnp.asarray(pk["dec5_0_k"]), s0s["dec5_0_s0"], cd,
+                               jnp.asarray(p["dec5_0"]["bias"]), dt))
+    res = jnp.tanh(packed_conv(h5, jnp.asarray(pk["dec5_1_k"]), s0s["dec5_1_s0"], cd,
+                               jnp.asarray(p["dec5_1"]["bias"]), dt))
+    out = jnp.clip(res.astype(jnp.float32) + xp.astype(jnp.float32), -1.0, 1.0)
+    return depth_to_space(out.astype(dt)), maxes
+
+
+def _conv1x1_bf(x: Array, k: Array, bias: Array) -> Array:
+    y = lax.conv_general_dilated(
+        x.astype(jnp.bfloat16), k.astype(jnp.bfloat16), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return (y + jnp.tile(bias.astype(y.dtype), 4)).astype(jnp.bfloat16)
+
+
+def _conv1x1_q(xq: Array, wq: Array) -> Array:
+    return lax.conv_general_dilated(
+        xq, wq, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+
+
+def _interior(bundle, p, x2):
+    """Canonical bf16 interior (enc3..dec3) shared by all packed paths."""
+    from uegan_tpu.models.blocks import ConvBlock, GAM, SNConv
+    from uegan_tpu.ops.resize import upsample2x_align_corners
+
+    gm = bundle.g_model
+    cd, dt = gm.conv_dim, jnp.bfloat16
+
+    def block(features, k, s):
+        return ConvBlock(features=features, kernel_size=k, stride=s, use_bias=True,
+                         norm_fun="none", act_fun="LeakyReLU", use_sn=False,
+                         dtype=dt, param_dtype=gm.param_dtype)
+
+    def gam(nc):
+        return GAM(out_nc=nc, reduction=8, use_bias=False, use_sn=False,
+                   norm=True, split_fuse=True, dtype=dt, param_dtype=gm.param_dtype)
+
+    def up(features):
+        return SNConv(features=features, kernel_size=1, stride=1, use_bias=True,
+                      use_sn=False, dtype=dt, param_dtype=gm.param_dtype)
+
+    x3 = block(cd * 4, 3, 2).apply({"params": p["enc3"]}, x2, False, False)
+    x4 = block(cd * 8, 3, 2).apply({"params": p["enc4"]}, x3, False, False)
+    x5 = block(cd * 16, 3, 2).apply({"params": p["enc5"]}, x4, False, False)
+    x5 = gam(cd * 16).apply({"params": p["ga5"]}, x5, update_sn=False)
+
+    y1 = up(cd * 8).apply({"params": p["upsample1"]}, upsample2x_align_corners(x5), update_sn=False)
+    y1 = jnp.concatenate([y1, gam(cd * 8).apply({"params": p["ga4"]}, x4, update_sn=False)], -1)
+    y1 = block(cd * 8, 3, 1).apply({"params": p["dec1"]}, y1, False, False)
+
+    y2 = up(cd * 4).apply({"params": p["upsample2"]}, upsample2x_align_corners(y1), update_sn=False)
+    y2 = jnp.concatenate([y2, gam(cd * 4).apply({"params": p["ga3"]}, x3, update_sn=False)], -1)
+    y2 = block(cd * 4, 3, 1).apply({"params": p["dec2"]}, y2, False, False)
+
+    y3 = up(cd * 2).apply({"params": p["upsample3"]}, upsample2x_align_corners(y2), update_sn=False)
+    y3 = jnp.concatenate([y3, gam(cd * 2).apply({"params": p["ga2"]}, x2, update_sn=False)], -1)
+    y3 = block(cd * 2, 3, 1).apply({"params": p["dec3"]}, y3, False, False)
+    return y3
+
+
+def make_int8_eval(bundle, g_params, calib_batch: Optional[np.ndarray] = None):
+    """Build the int8 packed inference forward: fn(params, extra, x).
+
+    Weights are quantized from ``g_params`` at build time (baked as
+    compile-time constants; the ``params`` argument is ignored — the
+    signature matches make_fast_eval for drop-in use).  ``calib_batch``
+    (in [-1,1]) drives activation-range calibration; defaults to a seeded
+    random batch, which is adequate because every quantized tensor sits
+    behind a range-bounding op (leaky of a bounded conv, instance norm,
+    tanh) — pass real images for production use.
+    """
+    gm = bundle.g_model
+    assert gm.norm_fun == "none" and gm.act_fun == "LeakyReLU" and not gm.use_sn, (
+        "int8 packed inference supports the default generator config only"
+    )
+    cd = gm.conv_dim
+    host = jax.device_get(g_params)
+    g = lambda *path: np.asarray(_get(host, path))
+    pk = pack_generator_params(host, cd)
+    s0s = packed_s0_statics()
+
+    if calib_batch is None:
+        calib_batch = np.random.default_rng(1990).uniform(
+            -1, 1, (2, 64, 64, 3)
+        ).astype(np.float32)
+    sc = calibrate(bundle, host, jnp.asarray(calib_batch))
+
+    # --- quantize the packed kernels, folding input scales ---
+    q: Dict[str, np.ndarray] = {}
+    w: Dict[str, np.ndarray] = {}
+    q["enc1"], w["enc1"] = quantize_weights(pk["enc1_k"], INPUT_SCALE)
+    q["enc2"], w["enc2"] = quantize_weights(pk["enc2_k"], sc["x1p"])
+    q["ga1"], w["ga1"] = quantize_weights(pk["ga1_fuse_x_k"], sc["x1p"])
+    q["up4"], w["up4"] = quantize_weights(pk["up4_k"], sc["resize4"])
+    # dec4's interleaved kernel rows are in TENSOR layout [A_p0..p3, B_p0..p3]
+    # (interleave_input_channels reorders the kernel to the concat layout):
+    # per-channel fold of the two parts' scales in that order
+    in_sc = np.concatenate([np.full(4 * cd, sc["up4"]), np.full(4 * cd, sc["ga1p"])])
+    q["dec4"], w["dec4"] = quantize_weights(pk["dec4_k"], in_sc)
+    q["dec5_0"], w["dec5_0"] = quantize_weights(pk["dec5_0_k"], sc["mod"])
+    q["dec5_1"], w["dec5_1"] = quantize_weights(pk["dec5_1_k"], sc["h5"])
+
+    biases = {
+        "enc1": g("enc1", "conv", "bias"), "enc2": g("enc2", "conv", "bias"),
+        "ga1": g("ga1", "fuse", "bias"), "up4": g("upsample4", "bias"),
+        "dec4": g("dec4", "conv", "bias"), "dec5_0": g("dec5_0", "bias"),
+        "dec5_1": g("dec5_1", "bias"),
+    }
+    ga1_sq = g("ga1", "squeeze", "kernel")[0, 0]
+    ga1_ex = g("ga1", "excite", "kernel")[0, 0]
+    ga1_kh = g("ga1", "fuse", "kernel")[0, 0, cd:, :]
+
+    def fn(params, extra, x):
+        del params, extra  # weights are baked (quantized at build time)
+        dt = jnp.bfloat16
+        xp = space_to_depth(x.astype(dt))
+        xq = quantize_act(xp, INPUT_SCALE)  # the input's own 8-bit quantization
+
+        x1p_bf = leaky(_deq(_conv_q(xq, jnp.asarray(q["enc1"]), s0s["enc1_s0"], 3),
+                            w["enc1"], jnp.asarray(biases["enc1"]), True))
+        x1q = quantize_act(x1p_bf, sc["x1p"])
+
+        x2 = leaky(_deq(_conv_q(x1q, jnp.asarray(q["enc2"]), s0s["enc2_s0"], cd),
+                        w["enc2"], jnp.asarray(biases["enc2"]), False))
+        y3 = _interior(bundle, host, x2)
+
+        # ga1 stats from the bf16 x1 (alive anyway for the modulation mul)
+        mean, std = packed_gam_stats(x1p_bf, cd)
+        stats = jnp.concatenate([mean, std], -1).astype(dt)
+        h = jax.nn.relu(stats @ jnp.asarray(ga1_sq, dt)) @ jnp.asarray(ga1_ex, dt)
+        ga1p = _deq(_conv1x1_q(x1q, jnp.asarray(q["ga1"])),
+                    w["ga1"], jnp.asarray(biases["ga1"]), True)
+        ga1p = ga1p + jnp.tile(h @ jnp.asarray(ga1_kh, dt), (1, 4))[:, None, None, :].astype(dt)
+        ga1p = packed_instance_norm(ga1p, cd)
+        ga1q = quantize_act(ga1p, sc["ga1p"])
+
+        h4, w4 = x.shape[1], x.shape[2]
+        r4 = packed_resize2x(y3, (h4, w4))
+        up4 = _deq(_conv1x1_q(quantize_act(r4, sc["resize4"]), jnp.asarray(q["up4"])),
+                   w["up4"], jnp.asarray(biases["up4"]), True)
+        d4in = jnp.concatenate([quantize_act(up4, sc["up4"]), ga1q], -1)
+        y4p = leaky(_deq(_conv_q(d4in, jnp.asarray(q["dec4"]), s0s["dec4_s0"], [cd, cd]),
+                         w["dec4"], jnp.asarray(biases["dec4"]), True))
+
+        mod = y4p * x1p_bf
+        h5 = _deq(_conv_q(quantize_act(mod, sc["mod"]), jnp.asarray(q["dec5_0"]),
+                          s0s["dec5_0_s0"], cd),
+                  w["dec5_0"], jnp.asarray(biases["dec5_0"]), True)
+        res = jnp.tanh(_deq(_conv_q(quantize_act(h5, sc["h5"]), jnp.asarray(q["dec5_1"]),
+                                    s0s["dec5_1_s0"], cd),
+                            w["dec5_1"], jnp.asarray(biases["dec5_1"]), True))
+        out = jnp.clip(res.astype(jnp.float32) + xp.astype(jnp.float32), -1.0, 1.0)
+        return depth_to_space(out.astype(dt))
+
+    return fn
+
+
+def _get(tree, path):
+    for k in path:
+        tree = tree[k]
+    return tree

@@ -20,6 +20,8 @@ def main(argv=None) -> None:
     p.add_argument("--mode", choices=["train", "eval"], default="eval")
     p.add_argument("--packed", action="store_true",
                    help="eval mode: profile the packed fast path (the production inference path)")
+    p.add_argument("--quantized", action="store_true",
+                   help="eval mode: profile the int8 quantized packed path")
     p.add_argument("--hw", type=int, default=512)
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--steps", type=int, default=10)
@@ -41,7 +43,10 @@ def main(argv=None) -> None:
     from uegan_tpu.train.state import create_train_state
     from uegan_tpu.train.step import make_eval_step, make_train_step
 
-    cfg = Config(compute_dtype=args.compute_dtype)
+    cfg = Config(
+        compute_dtype=args.compute_dtype,
+        quantized_inference="int8" if args.quantized else "",
+    )
     state, bundle = create_train_state(cfg, jax.random.PRNGKey(0), (args.hw, args.hw), 1)
     dev = jax.devices()[0]
     state = jax.device_put(state, dev)

@@ -52,6 +52,30 @@ def test_int8_conv_matches_float_conv():
     assert float(err.max()) < 0.15 * float(np.abs(np.asarray(want)).max()) + 0.05
 
 
+@pytest.mark.slow
+def test_pallas_path_matches_xla_int8_path():
+    """The int8_pallas forward equals the plain int8 forward (same math —
+    VMEM-fused epilogue + reflect strips vs the XLA chain) to f32/bf16
+    rounding, at a pallas-eligible size (W/2 lane-aligned)."""
+    from uegan_tpu.infer.quantized import make_int8_eval
+
+    cfg = Config(compute_dtype="bfloat16")
+    state, bundle = create_train_state(cfg, jax.random.PRNGKey(0), (256, 256), 1)
+    g_params = jax.device_get(state.g_params)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.uniform(-1, 1, (1, 256, 256, 3)).astype(np.float32))
+
+    base = jax.jit(make_int8_eval(bundle, g_params, calib_batch=np.asarray(x)))(
+        None, None, x)
+    pal = jax.jit(make_int8_eval(bundle, g_params, calib_batch=np.asarray(x),
+                                 use_pallas=True))(None, None, x)
+    assert pal.shape == base.shape
+    # int32 conv arithmetic identical; epilogue f32 orderings may differ by
+    # 1 lsb which can flip a requantized int8 by 1 → bounded bf16 output diff
+    d = np.abs(np.asarray(pal, np.float32) - np.asarray(base, np.float32))
+    assert float(d.max()) <= 0.02, f"max diff {d.max()}"
+
+
 def test_config_routes_to_int8():
     """make_fast_eval honors Config.quantized_inference='int8'."""
     from uegan_tpu.infer.packed import make_fast_eval

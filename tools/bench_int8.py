@@ -52,6 +52,15 @@ def run(tag: str, cfg: Config) -> float:
 
 
 if __name__ == "__main__":
-    bf16 = run("bf16_packed", Config(compute_dtype="bfloat16"))
-    q = run("int8_packed", Config(compute_dtype="bfloat16", quantized_inference="int8"))
-    print(json.dumps({"speedup_int8_over_bf16": round(q / bf16, 3)}))
+    only = os.environ.get("ONLY", "")
+    results = {}
+    for tag, qi in (("bf16_packed", ""), ("int8_packed", "int8"),
+                    ("int8_pallas", "int8_pallas")):
+        if only and only != tag:
+            continue
+        results[tag] = run(tag, Config(compute_dtype="bfloat16",
+                                       quantized_inference=qi))
+    if "bf16_packed" in results:
+        base = results["bf16_packed"]
+        print(json.dumps({f"speedup_{k}_over_bf16": round(v / base, 3)
+                          for k, v in results.items() if k != "bf16_packed"}))

@@ -144,10 +144,13 @@ class Config:
     # +30% steps/s measured.  Same math as canonical to float tolerance but
     # NOT bit-identical — the loss-canary change was deliberate; set False
     # for the bit-canonical step.  Default-G-config only, else falls back.)
-    quantized_inference: str = ""  # "" (off) or "int8": quantize the packed
-    # full-res convs to int8 (2x MXU rate, half HBM).  OPT-IN and lossy
-    # (>=30 dB vs bf16, test-enforced); requires packed_inference and the
-    # default G config, else falls back.  See infer/quantized.py.
+    quantized_inference: str = ""  # "" (off), "int8", or "int8_pallas":
+    # quantize the packed full-res convs to int8 (2x MXU rate, half HBM).
+    # OPT-IN and lossy (>=30 dB vs bf16, test-enforced); requires
+    # packed_inference and the default G config, else falls back.
+    # "int8_pallas" additionally runs the eligible convs through the Pallas
+    # fused-epilogue kernel (VMEM-resident s32 accumulator — no XLA s32
+    # round-trip).  See infer/quantized.py, ops/pallas/packed_conv_int8.py.
     test_keep_aspect: bool = False  # keep native resolution (pad to /16)
     profile_dir: str = ""  # jax.profiler trace output
     checkpoint_async: bool = True
@@ -171,7 +174,7 @@ class Config:
             raise ValueError(f"identity loss type [{self.idt_loss_type}] is not implemented")
         if self.optimizer_type not in OPTIMIZER_TYPES:
             raise ValueError(f"optimizer [{self.optimizer_type}] is not found")
-        if self.quantized_inference not in ("", "int8"):
+        if self.quantized_inference not in ("", "int8", "int8_pallas"):
             raise ValueError(
                 f"quantized_inference [{self.quantized_inference}] is not implemented"
             )

@@ -658,10 +658,11 @@ def make_fast_eval(bundle, g_params):
     )
     if not eligible:
         return make_eval_step(bundle)
-    if getattr(bundle.config, "quantized_inference", "") == "int8":
+    qi = getattr(bundle.config, "quantized_inference", "")
+    if qi in ("int8", "int8_pallas"):
         from uegan_tpu.infer.quantized import make_int8_eval
 
-        return make_int8_eval(bundle, g_params)
+        return make_int8_eval(bundle, g_params, use_pallas=qi == "int8_pallas")
     packed = pack_generator_params(jax.device_get(g_params), gm.conv_dim)
     packed_fn = make_packed_eval(bundle, packed)
     return lambda params, extra, x: packed_fn(params, x)

@@ -94,6 +94,94 @@ def _conv_q(xq: Array, wq: Array, s0: int, c_in) -> Array:
     return packed_conv(xq, wq, s0, c_in, bias=None, dtype=jnp.int8)
 
 
+def _conv_q_fused(
+    xq: Array,
+    wq: np.ndarray,
+    w_scale: np.ndarray,
+    bias_t: Array,
+    s0: int,
+    c_in,
+    act: str = "none",
+    mul: Optional[Array] = None,
+    out_scale: Optional[float] = None,
+    requant: bool = False,
+) -> Array:
+    """int8 packed conv + fused epilogue via the Pallas kernel, with the
+    reflect border fix-up strips applied by the XLA path.
+
+    The kernel (ops/pallas/packed_conv_int8.py) keeps the s32 accumulator in
+    VMEM and applies dequant+bias+act[+mul][+requant] before the single HBM
+    write; its zero-pad borders are overwritten here with strips computed
+    from packed-reflect-padded slabs — the same geometry as packed_conv's
+    fused path (infer/packed.py).
+    """
+    from uegan_tpu.infer.packed import packed_reflect_pad
+    from uegan_tpu.ops.pallas.packed_conv_int8 import packed_conv_int8_pallas
+
+    kq = jnp.asarray(wq)
+    ws = jnp.asarray(w_scale, jnp.float32)
+    osc = jnp.asarray(out_scale if out_scale is not None else 1.0, jnp.float32)
+    S = kq.shape[0]
+    s1 = S - 1 - s0
+    p = max(s0, s1)
+    m = max(s0 + s1, p + 1)
+    lp, wp = xq.shape[1], xq.shape[2]
+
+    y = packed_conv_int8_pallas(
+        xq, kq, ws, bias_t, s0, act=act, mul=mul, out_scale=osc,
+        requant=requant, interpret=jax.default_backend() != "tpu",
+    )
+    if p == 0:
+        return y  # 1x1: exact everywhere, no strips
+
+    def conv_valid(t):
+        return lax.conv_general_dilated(
+            t, kq, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32,
+        )
+
+    def epi(y_i32, mul_slice):
+        v = y_i32.astype(jnp.float32) * ws + bias_t.astype(jnp.float32)
+        if act == "leaky":
+            v = jnp.where(v >= 0, v, 0.2 * v)
+        elif act == "tanh":
+            v = jnp.tanh(v)
+        if mul is not None:
+            v = v * mul_slice.astype(jnp.float32)
+        if requant:
+            v = jnp.clip(jnp.round(v / osc), -127, 127)
+        return v.astype(y.dtype)
+
+    ms = lambda sl_r, sl_c: mul[:, sl_r, sl_c] if mul is not None else None
+    wslice = slice(p - s0, p + wp + s1)
+    if s0:
+        slab = packed_reflect_pad(xq[:, :m], p, c_in)
+        y = y.at[:, :s0].set(epi(
+            conv_valid(slab[:, p - s0 : p + s0 + s1, wslice]),
+            ms(slice(0, s0), slice(None)),
+        ))
+    if s1:
+        slab = packed_reflect_pad(xq[:, lp - m :], p, c_in)
+        y = y.at[:, lp - s1 :].set(epi(
+            conv_valid(slab[:, p + m - s0 - s1 : p + m + s1, wslice]),
+            ms(slice(lp - s1, None), slice(None)),
+        ))
+    if s0:
+        slab = packed_reflect_pad(xq[:, :, :m], p, c_in)
+        y = y.at[:, s0 : lp - s1, :s0].set(epi(
+            conv_valid(slab[:, p : p + lp, p - s0 : p + s0 + s1]),
+            ms(slice(s0, lp - s1), slice(0, s0)),
+        ))
+    if s1:
+        slab = packed_reflect_pad(xq[:, :, wp - m :], p, c_in)
+        y = y.at[:, s0 : lp - s1, wp - s1 :].set(epi(
+            conv_valid(slab[:, p : p + lp, p + m - s0 - s1 : p + m + s1]),
+            ms(slice(s0, lp - s1), slice(wp - s1, None)),
+        ))
+    return y
+
+
 def _deq(y_i32: Array, w_scale: np.ndarray, bias: Array, tile_bias: bool) -> Array:
     """int32 conv accumulator -> bf16, folding the per-cout scales + bias.
 
@@ -228,7 +316,12 @@ def _interior(bundle, p, x2):
     return y3
 
 
-def make_int8_eval(bundle, g_params, calib_batch: Optional[np.ndarray] = None):
+def make_int8_eval(
+    bundle,
+    g_params,
+    calib_batch: Optional[np.ndarray] = None,
+    use_pallas: bool = False,
+):
     """Build the int8 packed inference forward: fn(params, extra, x).
 
     Weights are quantized from ``g_params`` at build time (baked as
@@ -238,6 +331,11 @@ def make_int8_eval(bundle, g_params, calib_batch: Optional[np.ndarray] = None):
     random batch, which is adequate because every quantized tensor sits
     behind a range-bounding op (leaky of a bounded conv, instance norm,
     tanh) — pass real images for production use.
+
+    ``use_pallas`` routes the eligible full-res convs (ga1/up4 1x1, dec4
+    incl. the fused modulation multiply, dec5_0) through the Pallas int8
+    kernel with its fused dequant/requant epilogue (falls back per-conv to
+    the XLA chain when shapes are ineligible, e.g. W not lane-aligned).
     """
     gm = bundle.g_model
     assert gm.norm_fun == "none" and gm.act_fun == "LeakyReLU" and not gm.use_sn, (
@@ -280,6 +378,20 @@ def make_int8_eval(bundle, g_params, calib_batch: Optional[np.ndarray] = None):
     ga1_ex = g("ga1", "excite", "kernel")[0, 0]
     ga1_kh = g("ga1", "fuse", "kernel")[0, 0, cd:, :]
 
+    def _plq(name):  # pallas operands for conv `name`
+        return (
+            q[name],
+            w[name],
+            jnp.tile(jnp.asarray(biases[name], jnp.float32), 4),
+        )
+
+    def _pl_ok(xq_shape, name):
+        if not use_pallas:
+            return False
+        from uegan_tpu.ops.pallas.packed_conv_int8 import eligible
+
+        return eligible(tuple(xq_shape), q[name].shape)
+
     def fn(params, extra, x):
         del params, extra  # weights are baked (quantized at build time)
         dt = jnp.bfloat16
@@ -298,25 +410,46 @@ def make_int8_eval(bundle, g_params, calib_batch: Optional[np.ndarray] = None):
         mean, std = packed_gam_stats(x1p_bf, cd)
         stats = jnp.concatenate([mean, std], -1).astype(dt)
         h = jax.nn.relu(stats @ jnp.asarray(ga1_sq, dt)) @ jnp.asarray(ga1_ex, dt)
-        ga1p = _deq(_conv1x1_q(x1q, jnp.asarray(q["ga1"])),
-                    w["ga1"], jnp.asarray(biases["ga1"]), True)
+        if _pl_ok(x1q.shape, "ga1"):
+            ga1p = _conv_q_fused(x1q, *_plq("ga1"), 0, cd)
+        else:
+            ga1p = _deq(_conv1x1_q(x1q, jnp.asarray(q["ga1"])),
+                        w["ga1"], jnp.asarray(biases["ga1"]), True)
         ga1p = ga1p + jnp.tile(h @ jnp.asarray(ga1_kh, dt), (1, 4))[:, None, None, :].astype(dt)
         ga1p = packed_instance_norm(ga1p, cd)
         ga1q = quantize_act(ga1p, sc["ga1p"])
 
         h4, w4 = x.shape[1], x.shape[2]
         r4 = packed_resize2x(y3, (h4, w4))
-        up4 = _deq(_conv1x1_q(quantize_act(r4, sc["resize4"]), jnp.asarray(q["up4"])),
-                   w["up4"], jnp.asarray(biases["up4"]), True)
-        d4in = jnp.concatenate([quantize_act(up4, sc["up4"]), ga1q], -1)
-        y4p = leaky(_deq(_conv_q(d4in, jnp.asarray(q["dec4"]), s0s["dec4_s0"], [cd, cd]),
-                         w["dec4"], jnp.asarray(biases["dec4"]), True))
+        r4q = quantize_act(r4, sc["resize4"])
+        if _pl_ok(r4q.shape, "up4"):
+            up4q = _conv_q_fused(r4q, *_plq("up4"), 0, cd,
+                                 out_scale=sc["up4"], requant=True)
+        else:
+            up4 = _deq(_conv1x1_q(r4q, jnp.asarray(q["up4"])),
+                       w["up4"], jnp.asarray(biases["up4"]), True)
+            up4q = quantize_act(up4, sc["up4"])
+        d4in = jnp.concatenate([up4q, ga1q], -1)
+        if _pl_ok(d4in.shape, "dec4"):
+            # fused: conv + leaky + (y4 * x1) modulation + requantize — the
+            # XLA chain materializes y4p bf16, mod bf16, and mod s8 separately
+            modq = _conv_q_fused(d4in, *_plq("dec4"), s0s["dec4_s0"], [cd, cd],
+                                 act="leaky", mul=x1p_bf,
+                                 out_scale=sc["mod"], requant=True)
+        else:
+            y4p = leaky(_deq(_conv_q(d4in, jnp.asarray(q["dec4"]), s0s["dec4_s0"], [cd, cd]),
+                             w["dec4"], jnp.asarray(biases["dec4"]), True))
+            modq = quantize_act(y4p * x1p_bf, sc["mod"])
 
-        mod = y4p * x1p_bf
-        h5 = _deq(_conv_q(quantize_act(mod, sc["mod"]), jnp.asarray(q["dec5_0"]),
-                          s0s["dec5_0_s0"], cd),
-                  w["dec5_0"], jnp.asarray(biases["dec5_0"]), True)
-        res = jnp.tanh(_deq(_conv_q(quantize_act(h5, sc["h5"]), jnp.asarray(q["dec5_1"]),
+        if _pl_ok(modq.shape, "dec5_0"):
+            h5q = _conv_q_fused(modq, *_plq("dec5_0"), s0s["dec5_0_s0"], cd,
+                                out_scale=sc["h5"], requant=True)
+        else:
+            h5 = _deq(_conv_q(modq, jnp.asarray(q["dec5_0"]),
+                              s0s["dec5_0_s0"], cd),
+                      w["dec5_0"], jnp.asarray(biases["dec5_0"]), True)
+            h5q = quantize_act(h5, sc["h5"])
+        res = jnp.tanh(_deq(_conv_q(h5q, jnp.asarray(q["dec5_1"]),
                                     s0s["dec5_1_s0"], cd),
                             w["dec5_1"], jnp.asarray(biases["dec5_1"]), True))
         out = jnp.clip(res.astype(jnp.float32) + xp.astype(jnp.float32), -1.0, 1.0)

@@ -148,9 +148,13 @@ class Config:
     # quantize the packed full-res convs to int8 (2x MXU rate, half HBM).
     # OPT-IN and lossy (>=30 dB vs bf16, test-enforced); requires
     # packed_inference and the default G config, else falls back.
-    # "int8_pallas" additionally runs the eligible convs through the Pallas
-    # fused-epilogue kernel (VMEM-resident s32 accumulator — no XLA s32
-    # round-trip).  See infer/quantized.py, ops/pallas/packed_conv_int8.py.
+    # "int8_pallas" routes eligible convs through the Pallas fused-epilogue
+    # kernel — EXPERIMENTAL and measured SLOWER end-to-end on the current
+    # stack (406-473 vs 523 img/s: Mosaic's s8 matmul runs at the bf16 MXU
+    # rate and pallas boundaries force big layout copies, while XLA's int8
+    # convs hit the native 2x rate and fuse tighter).  Kept for
+    # re-measurement on future stacks.  Use "int8" for production.
+    # See infer/quantized.py, ops/pallas/packed_conv_int8.py.
     test_keep_aspect: bool = False  # keep native resolution (pad to /16)
     profile_dir: str = ""  # jax.profiler trace output
     checkpoint_async: bool = True

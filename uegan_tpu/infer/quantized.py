@@ -386,7 +386,14 @@ def make_int8_eval(
         )
 
     def _pl_ok(xq_shape, name):
-        if not use_pallas:
+        # Pallas only for the 1x1 convs: measured on v5e (512px B=128), the
+        # Mosaic s8 matmul runs at the bf16 MXU rate while XLA's int8
+        # CONVOLUTION hits the native 2x int8 rate — so the pallas kernel
+        # wins only where bandwidth dominates (1x1 + fused requant: up4
+        # 1.50x, ga1 1.74x standalone) and loses on the 3x3 packed convs
+        # (dec4 fused 22.4 ms vs XLA's 12.9 ms conv; the packed transform's
+        # 4x FLOP overhead needs the native rate to pay).
+        if not use_pallas or q[name].shape[0] != 1:
             return False
         from uegan_tpu.ops.pallas.packed_conv_int8 import eligible
 

@@ -20,7 +20,7 @@ def main(argv=None) -> None:
     p.add_argument("--mode", choices=["train", "eval"], default="eval")
     p.add_argument("--packed", action="store_true",
                    help="eval mode: profile the packed fast path (the production inference path)")
-    p.add_argument("--quantized", action="store_true",
+    p.add_argument("--quantized", type=str, default="",
                    help="eval mode: profile the int8 quantized packed path")
     p.add_argument("--hw", type=int, default=512)
     p.add_argument("--batch", type=int, default=32)
@@ -45,7 +45,7 @@ def main(argv=None) -> None:
 
     cfg = Config(
         compute_dtype=args.compute_dtype,
-        quantized_inference="int8" if args.quantized else "",
+        quantized_inference=args.quantized or "",
     )
     state, bundle = create_train_state(cfg, jax.random.PRNGKey(0), (args.hw, args.hw), 1)
     dev = jax.devices()[0]

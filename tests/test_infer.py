@@ -74,6 +74,52 @@ def test_spatial_sharded_matches_single_device(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
 
 
+def test_spatial_sharded_fast_path_matches_single_device(rng):
+    """The PACKED forward under GSPMD spatial sharding == single-device
+    packed (the tester's multi-chip high-res path uses fast=True)."""
+    from uegan_tpu.config import Config
+    from uegan_tpu.parallel.mesh import make_mesh
+    from uegan_tpu.infer.packed import make_fast_eval
+    from uegan_tpu.infer.spatial import enhance_spatial_sharded
+    from uegan_tpu.train.state import create_train_state
+
+    cfg = Config(compute_dtype="float32")
+    state, bundle = create_train_state(cfg, jax.random.PRNGKey(1), (64, 64), 1)
+    x = jnp.asarray(rng.uniform(-1, 1, (1, 64, 64, 3)).astype(np.float32))
+    ref = jax.jit(make_fast_eval(bundle, state.g_params))(
+        state.g_params, state.g_extra, x)
+
+    mesh = make_mesh(1, 4, devices=jax.devices()[:4])
+    out = enhance_spatial_sharded(bundle, mesh, state.g_params, state.g_extra,
+                                  x, fast=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_spatial_sharded_int8_matches_single_device(rng):
+    """int8 quantized inference under spatial sharding == single-device int8
+    (quantize rounding is elementwise; GAM reductions psum; DUS strips
+    shard) — multi-chip high-res serving can use the quantized path."""
+    from uegan_tpu.config import Config
+    from uegan_tpu.parallel.mesh import make_mesh
+    from uegan_tpu.infer.packed import make_fast_eval
+    from uegan_tpu.infer.spatial import enhance_spatial_sharded
+    from uegan_tpu.train.state import create_train_state
+
+    cfg = Config(compute_dtype="bfloat16", quantized_inference="int8")
+    state, bundle = create_train_state(cfg, jax.random.PRNGKey(2), (64, 64), 1)
+    x = jnp.asarray(rng.uniform(-1, 1, (1, 64, 64, 3)).astype(np.float32))
+    ref = jax.jit(make_fast_eval(bundle, state.g_params))(
+        state.g_params, state.g_extra, x)
+
+    mesh = make_mesh(1, 4, devices=jax.devices()[:4])
+    out = enhance_spatial_sharded(bundle, mesh, state.g_params, state.g_extra,
+                                  x, fast=True)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=1e-2, atol=1e-2)
+
+
 def test_gam_stats_pallas_matches_reference(rng):
     """Pallas fused mean/std kernel == jnp feature_mean_std (interpret mode)."""
     from uegan_tpu.ops.pallas.gam_stats import gam_mean_std_pallas

@@ -17,19 +17,32 @@ import jax
 from uegan_tpu.parallel.sharding import replicated, spatial_sharding
 
 
-def make_spatial_enhancer(bundle, mesh) -> Callable:
-    """Jitted G forward with image H sharded over all mesh devices."""
-    from uegan_tpu.train.step import make_eval_step
+def make_spatial_enhancer(bundle, mesh, g_params=None) -> Callable:
+    """Jitted G forward with image H sharded over all mesh devices.
 
-    eval_fn = make_eval_step(bundle)
+    With ``g_params`` given, uses the production fast path for this config
+    (packed space-to-depth, optionally int8-quantized — infer/packed.py's
+    make_fast_eval); the DUS border strips, quantize ops, and GAM
+    reductions all shard cleanly (test-enforced equal to single-device).
+    Without it, the canonical eval step.
+    """
     rep = replicated(mesh)
     sp = spatial_sharding(mesh)
+    if g_params is not None:
+        from uegan_tpu.infer.packed import make_fast_eval
+
+        eval_fn = make_fast_eval(bundle, g_params)
+    else:
+        from uegan_tpu.train.step import make_eval_step
+
+        eval_fn = make_eval_step(bundle)
     return jax.jit(eval_fn, in_shardings=(rep, rep, sp), out_shardings=sp)
 
 
-def enhance_spatial_sharded(bundle, mesh, g_params, g_extra, image_nhwc):
+def enhance_spatial_sharded(bundle, mesh, g_params, g_extra, image_nhwc,
+                            fast: bool = False):
     """Enhance an NHWC batch with spatial sharding; returns device array."""
-    fn = make_spatial_enhancer(bundle, mesh)
+    fn = make_spatial_enhancer(bundle, mesh, g_params if fast else None)
     img = jax.device_put(image_nhwc, spatial_sharding(mesh))
     params = jax.device_put(g_params, replicated(mesh))
     extra = jax.device_put(g_extra, replicated(mesh))

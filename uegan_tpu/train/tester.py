@@ -133,7 +133,7 @@ class Tester:
 
             out = enhance_spatial_sharded(
                 self.bundle, self.mesh, self.state.g_params, self.state.g_extra,
-                jnp.asarray(raw_batch),
+                jnp.asarray(raw_batch), fast=True,
             )
             return np.asarray(out)
         b = raw_batch.shape[0]

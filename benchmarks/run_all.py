@@ -106,12 +106,14 @@ def bench_train(iters: int, hw: int, batch: int, remat: bool = False):
     return iters / (time.perf_counter() - t0)
 
 
-def bench_highres(iters: int, hw: int = 2048):
+def bench_highres(iters: int, hw: int = 2048, batch: int = 4):
     """Config 5: native-resolution 2048px enhancement.
 
     Primary path is direct full-image inference (fits 16GB HBM easily —
     measured 46x faster than host-side tile/stitch); the tiled paths remain
-    as beyond-HBM fallbacks (see infer/tiles.py).
+    as beyond-HBM fallbacks (see infer/tiles.py).  Batch 4 engages the
+    fused pad-conv border strips (gated to batch >= 4): 10.5 vs 9.5 img/s
+    at batch 1.
     """
     import jax
     import numpy as np
@@ -125,14 +127,14 @@ def bench_highres(iters: int, hw: int = 2048):
     dev = jax.devices()[0]
     state = jax.device_put(state, dev)
     fn = jax.jit(make_fast_eval(bundle, state.g_params))
-    x = jax.device_put(np.random.default_rng(0).uniform(-1, 1, (1, hw, hw, 3)).astype("float32"), dev)
+    x = jax.device_put(np.random.default_rng(0).uniform(-1, 1, (batch, hw, hw, 3)).astype("float32"), dev)
     r = fn(state.g_params, state.g_extra, x)
     _force(r)
     t0 = time.perf_counter()
     for _ in range(iters):
         r = fn(state.g_params, state.g_extra, x)
     _force(r)
-    return iters / (time.perf_counter() - t0)
+    return batch * iters / (time.perf_counter() - t0)
 
 
 def main():

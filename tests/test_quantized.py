@@ -82,8 +82,10 @@ def test_config_routes_to_int8():
 
     cfg = Config(compute_dtype="bfloat16", quantized_inference="int8")
     state, bundle = create_train_state(cfg, jax.random.PRNGKey(0), (32, 32), 1)
-    fn = make_fast_eval(bundle, state.g_params)
-    x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    x = jnp.asarray(np.random.default_rng(0).uniform(-1, 1, (1, 32, 32, 3)).astype(np.float32))
+    # calib_batch plumbs through to the int8 calibration (tester passes its
+    # first real batch)
+    fn = make_fast_eval(bundle, state.g_params, calib_batch=np.asarray(x))
     y = jax.jit(fn)(state.g_params, state.g_extra, x)
     assert y.shape == x.shape
 

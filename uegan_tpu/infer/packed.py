@@ -640,12 +640,16 @@ def make_packed_eval(bundle, packed: Dict[str, np.ndarray] = None):
 packed_resize2x = packed_resize2x_align_corners
 
 
-def make_fast_eval(bundle, g_params):
+def make_fast_eval(bundle, g_params, calib_batch=None):
     """Best inference forward for this config: packed when eligible
     (default generator config), else the canonical eval step.
 
     Returns ``fn(g_params, g_extra, x)`` with the canonical signature either
     way (the packed path ignores ``g_extra`` — the default G has none).
+    ``calib_batch`` (numpy/array in [-1,1]) feeds the int8 activation-range
+    calibration when quantized inference is enabled — pass real images for
+    production quality (the tester passes its first batch); ignored
+    otherwise.
     """
     from uegan_tpu.train.step import make_eval_step
 
@@ -662,7 +666,8 @@ def make_fast_eval(bundle, g_params):
     if qi in ("int8", "int8_pallas"):
         from uegan_tpu.infer.quantized import make_int8_eval
 
-        return make_int8_eval(bundle, g_params, use_pallas=qi == "int8_pallas")
+        return make_int8_eval(bundle, g_params, calib_batch=calib_batch,
+                              use_pallas=qi == "int8_pallas")
     packed = pack_generator_params(jax.device_get(g_params), gm.conv_dim)
     packed_fn = make_packed_eval(bundle, packed)
     return lambda params, extra, x: packed_fn(params, x)

@@ -49,6 +49,38 @@ def test_get_scores(server, rng):
     np.testing.assert_allclose(sum(body["scores"]), 1.0, rtol=1e-4)
 
 
+def test_enhance_endpoint(server, rng):
+    """POST image -> enhanced PNG at test_img_size (random-init weights;
+    exercises the packed fast path inside the service)."""
+    conn = http.client.HTTPConnection("127.0.0.1", server, timeout=600)
+    conn.request("POST", "/api/enhance", body=_png_bytes(rng))
+    r = conn.getresponse()
+    assert r.status == 200
+    assert r.getheader("Content-Type") == "image/png"
+    img = Image.open(io.BytesIO(r.read()))
+    assert img.size == (32, 32)
+
+
+@pytest.mark.slow
+def test_enhance_int8_mode(rng):
+    """The service's --quantized_inference int8 flag routes enhancement
+    through the quantized path."""
+    srv = create_server(host="127.0.0.1", port=0, test_img_size=32,
+                        quantized_inference="int8")
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
+        conn.request("POST", "/api/enhance", body=_png_bytes(rng))
+        r = conn.getresponse()
+        assert r.status == 200
+        img = Image.open(io.BytesIO(r.read()))
+        assert img.size == (32, 32)
+    finally:
+        srv.shutdown()
+
+
 def test_invalid_image_400(server):
     conn = http.client.HTTPConnection("127.0.0.1", server, timeout=30)
     conn.request("POST", "/api/get_scores", body=b"not an image")

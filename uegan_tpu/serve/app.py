@@ -33,11 +33,13 @@ from PIL import Image
 class _Models:
     """Lazily-built jitted model handles shared across requests."""
 
-    def __init__(self, nima_weights: str = "", generator_ckpt: str = "", test_img_size: int = 512):
+    def __init__(self, nima_weights: str = "", generator_ckpt: str = "",
+                 test_img_size: int = 512, quantized_inference: str = ""):
         self._lock = threading.Lock()
         self.nima_weights = nima_weights
         self.generator_ckpt = generator_ckpt
         self.test_img_size = test_img_size
+        self.quantized_inference = quantized_inference
         self._nima = None
         self._enhancer = None
 
@@ -68,18 +70,21 @@ class _Models:
 
         with self._lock:
             if self._enhancer is None:
-                from uegan_tpu.config import Config
-                from uegan_tpu.train.state import create_train_state
-                from uegan_tpu.train.step import make_eval_step
+                import os
 
-                cfg = Config()
+                from uegan_tpu.config import Config
+                from uegan_tpu.infer.packed import make_fast_eval
+
+                from uegan_tpu.train.state import create_train_state
+
+                cfg = Config(quantized_inference=self.quantized_inference).validate()
                 state, bundle = create_train_state(
                     cfg, jax.random.PRNGKey(0), (self.test_img_size, self.test_img_size), 1
                 )
                 if self.generator_ckpt:
-                    from uegan_tpu.convert.torch_import import import_uegan_checkpoint
-
                     if self.generator_ckpt.endswith(".pth"):
+                        from uegan_tpu.convert.torch_import import import_uegan_checkpoint
+
                         conv = import_uegan_checkpoint(self.generator_ckpt)
                         cast = lambda new, old: jnp.asarray(new, old.dtype)
                         state = state.replace(
@@ -87,7 +92,21 @@ class _Models:
                                 cast, conv["g_vars"]["params"], state.g_params
                             )
                         )
-                self._enhancer = (jax.jit(make_eval_step(bundle)), state)
+                    elif os.path.isdir(self.generator_ckpt):
+                        import orbax.checkpoint as ocp
+
+                        ckptr = ocp.StandardCheckpointer()
+                        abstract = jax.tree_util.tree_map(
+                            ocp.utils.to_shape_dtype_struct, jax.device_get(state)
+                        )
+                        state = ckptr.restore(
+                            os.path.abspath(self.generator_ckpt), abstract
+                        )
+                # packed fast path (2.8x canonical; int8 when configured) —
+                # kernels transformed from the loaded weights
+                self._enhancer = (
+                    jax.jit(make_fast_eval(bundle, state.g_params)), state
+                )
         fn, state = self._enhancer
         s = self.test_img_size
         arr = np.asarray(image.convert("RGB").resize((s, s), Image.BILINEAR), np.float32)
@@ -165,6 +184,8 @@ if __name__ == "__main__":
     p.add_argument("--nima_weights", default="")
     p.add_argument("--generator_ckpt", default="")
     p.add_argument("--test_img_size", type=int, default=512)
+    p.add_argument("--quantized_inference", default="",
+                   help="'' or 'int8' — opt-in int8 enhancement path")
     p.add_argument("--platform", default="")
     a = p.parse_args()
     if a.platform:
@@ -172,4 +193,5 @@ if __name__ == "__main__":
 
         jax.config.update("jax_platforms", a.platform)
     run_server(a.host, a.port, nima_weights=a.nima_weights,
-               generator_ckpt=a.generator_ckpt, test_img_size=a.test_img_size)
+               generator_ckpt=a.generator_ckpt, test_img_size=a.test_img_size,
+               quantized_inference=a.quantized_inference)

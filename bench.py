@@ -22,8 +22,9 @@ import json
 import time
 
 A100_PYTORCH_IMG_PER_SEC_EST = 120.0
-BATCH = 128  # measured throughput sweet spot (sweep: 32: 388, 96: 408-421,
-             # 128: 439, 160: 399 img/s on the v5e chip)
+BATCH = 128  # measured throughput sweet spot (sweep at the time: 32: 388,
+             # 96: 408-421, 128: 439, 160: 399 img/s on the v5e chip;
+             # 515.7 at B=128 after the fused resize+conv einsum)
 HW = 512
 WARMUP = 3
 ITERS = 4

@@ -403,6 +403,38 @@ def packed_resize2x_align_corners(x: Array, out_hw: Tuple[int, int]) -> Array:
     return y.reshape(n, oh // 2, ow // 2, 4 * c)  # phase-major: (e*2+f)*C + c
 
 
+def packed_resize2x_conv1x1(
+    x: Array, kernel: Array, bias: Array, out_hw: Tuple[int, int]
+) -> Array:
+    """Fused bilinear x2 align-corners resize + 1x1 conv, packed output.
+
+    One einsum contracts the two interpolation matrices AND the 1x1 kernel:
+    XLA's staging contracts channels at the low-res side, so the resize
+    moves q=Cout channels instead of Cin and the packed-layout copy feeding
+    the conv disappears — measured 33 vs 60 ms standalone at the up4 shape
+    (512px B=128).  Numerics: exact in f32; in bf16 the intermediate is
+    rounded at post-conv magnitude — the same noise class as one extra bf16
+    conv (the train path keeps the unfused form to preserve the loss-canary
+    contract).  ``kernel`` is the CANONICAL (1,1,Cin,Cout) kernel.
+    """
+    from uegan_tpu.ops.resize import _interp_matrix_np
+
+    n, h, w, c = x.shape
+    oh, ow = out_hw
+    mh = _interp_matrix_np(h, oh, True)
+    mw = _interp_matrix_np(w, ow, True)
+    prec = (
+        jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+    )
+    mhp = jnp.asarray(mh.reshape(oh // 2, 2, h).transpose(1, 0, 2), x.dtype)
+    mwp = jnp.asarray(mw.reshape(ow // 2, 2, w).transpose(1, 0, 2), x.dtype)
+    k = kernel[0, 0].astype(x.dtype)
+    q = k.shape[-1]
+    y = jnp.einsum("eoh,fpw,nhwc,cq->nopefq", mhp, mwp, x, k, precision=prec)
+    y = y.reshape(n, oh // 2, ow // 2, 4 * q)
+    return (y + jnp.tile(bias.astype(y.dtype), 4)).astype(x.dtype)
+
+
 def packed_gam_stats(xp: Array, c: int, eps: float = 1e-5) -> Tuple[Array, Array]:
     """GAM mean/unbiased-std per ORIGINAL channel from a packed tensor."""
     n, hp, wp, _ = xp.shape
@@ -611,12 +643,25 @@ def make_packed_eval(bundle, packed: Dict[str, np.ndarray] = None):
         ga1p = ga1p + jnp.tile(h @ kh, (1, 4))[:, None, None, :].astype(ga1p.dtype)
         ga1p = packed_instance_norm(ga1p, cd)
 
-        # upsample4 is NOT commuted: the packed 1x1 conv runs on 128-lane
-        # tensors, while conv-first would leave the resize einsums at C=32
-        # (4x lane waste) — measured slower (335 vs 377 img/s)
         h4, w4 = x.shape[1], x.shape[2]
-        up4 = packed_resize2x(y3, (h4, w4))
-        up4 = conv1x1(up4, jnp.asarray(pk["up4_k"]), p["upsample4"]["bias"], cd)
+        if packed is not None:
+            # INFERENCE: resize and the 1x1 conv fused into one einsum —
+            # kills the conv's full-size read/write and the packed-layout
+            # copy (see packed_resize2x_conv1x1; one extra bf16 rounding).
+            # NOTE: materializing the resize then a PACKED conv (the old
+            # form) measured 60 ms standalone vs 33 fused; conv-THEN-resize
+            # through NHWC convs was also slower (335 vs 377 img/s) — the
+            # einsum staging is what avoids both the layout copy and the
+            # C=32 lane waste.
+            up4 = packed_resize2x_conv1x1(
+                y3, p["upsample4"]["kernel"], p["upsample4"]["bias"], (h4, w4)
+            )
+        else:
+            # TRAINING (traced packing): keep the unfused form — the fused
+            # einsum's different rounding point would move the loss canary
+            # (the packed_train contract is 4-decimal stability)
+            up4 = packed_resize2x(y3, (h4, w4))
+            up4 = conv1x1(up4, jnp.asarray(pk["up4_k"]), p["upsample4"]["bias"], cd)
         # NOTE: splitting this conv (conv(up4,Ka)+conv(ga1p,Kb), killing the
         # concat + its 12.8 ms layout copy) measured EQUAL within noise
         # (465-466 vs 461-470 img/s): the saved copy is offset by the second

@@ -49,7 +49,7 @@ from uegan_tpu.infer.packed import (
     packed_conv,
     packed_gam_stats,
     packed_instance_norm,
-    packed_resize2x,
+    packed_resize2x_conv1x1,
     packed_s0_statics,
     space_to_depth,
 )
@@ -58,8 +58,8 @@ Array = jnp.ndarray
 
 INPUT_SCALE = 1.0 / 127.0  # network input is [-1, 1] by contract
 
-# activation-scale taps, in forward order
-SCALE_KEYS = ("x1p", "ga1p", "resize4", "up4", "mod", "h5")
+# activation-scale taps, in forward order (up4 = fused resize+conv output)
+SCALE_KEYS = ("x1p", "ga1p", "up4", "mod", "h5")
 
 
 def quantize_weights(
@@ -246,9 +246,9 @@ def _forward_bf16_taps(bundle, pk, p, x):
     ga1p = tap("ga1p", packed_instance_norm(ga1p, cd))
 
     h4, w4 = x.shape[1], x.shape[2]
-    r4 = tap("resize4", packed_resize2x(y3, (h4, w4)))
-    up4 = tap("up4", _conv1x1_bf(r4, jnp.asarray(pk["up4_k"]),
-                                 jnp.asarray(p["upsample4"]["bias"])))
+    up4 = tap("up4", packed_resize2x_conv1x1(
+        y3, jnp.asarray(p["upsample4"]["kernel"]),
+        jnp.asarray(p["upsample4"]["bias"]), (h4, w4)))
     y4p = leaky(packed_conv(jnp.concatenate([up4, ga1p], -1), jnp.asarray(pk["dec4_k"]),
                             s0s["dec4_s0"], [cd, cd], jnp.asarray(p["dec4"]["conv"]["bias"]), dt))
     mod = tap("mod", y4p * x1p)
@@ -359,7 +359,8 @@ def make_int8_eval(
     q["enc1"], w["enc1"] = quantize_weights(pk["enc1_k"], INPUT_SCALE)
     q["enc2"], w["enc2"] = quantize_weights(pk["enc2_k"], sc["x1p"])
     q["ga1"], w["ga1"] = quantize_weights(pk["ga1_fuse_x_k"], sc["x1p"])
-    q["up4"], w["up4"] = quantize_weights(pk["up4_k"], sc["resize4"])
+    # up4 has no int8 kernel: the fused bf16 resize+conv einsum feeds the
+    # quantizer directly (packed_resize2x_conv1x1)
     # dec4's interleaved kernel rows are in TENSOR layout [A_p0..p3, B_p0..p3]
     # (interleave_input_channels reorders the kernel to the concat layout):
     # per-channel fold of the two parts' scales in that order
@@ -426,16 +427,13 @@ def make_int8_eval(
         ga1p = packed_instance_norm(ga1p, cd)
         ga1q = quantize_act(ga1p, sc["ga1p"])
 
+        # fused bf16 resize + 1x1 conv (see make_packed_eval) quantized
+        # directly — no separate int8 up4 conv or requant pass remains
         h4, w4 = x.shape[1], x.shape[2]
-        r4 = packed_resize2x(y3, (h4, w4))
-        r4q = quantize_act(r4, sc["resize4"])
-        if _pl_ok(r4q.shape, "up4"):
-            up4q = _conv_q_fused(r4q, *_plq("up4"), 0, cd,
-                                 out_scale=sc["up4"], requant=True)
-        else:
-            up4 = _deq(_conv1x1_q(r4q, jnp.asarray(q["up4"])),
-                       w["up4"], jnp.asarray(biases["up4"]), True)
-            up4q = quantize_act(up4, sc["up4"])
+        up4 = packed_resize2x_conv1x1(
+            y3, jnp.asarray(host["upsample4"]["kernel"]),
+            jnp.asarray(biases["up4"]), (h4, w4))
+        up4q = quantize_act(up4, sc["up4"])
         d4in = jnp.concatenate([up4q, ga1q], -1)
         if _pl_ok(d4in.shape, "dec4"):
             # fused: conv + leaky + (y4 * x1) modulation + requantize — the

@@ -435,6 +435,31 @@ def packed_resize2x_conv1x1(
     return (y + jnp.tile(bias.astype(y.dtype), 4)).astype(x.dtype)
 
 
+def resize2x_conv1x1(
+    x: Array, kernel: Array, bias: Array, out_hw: Tuple[int, int]
+) -> Array:
+    """Fused bilinear x2 align-corners resize + 1x1 conv, ORDINARY output.
+
+    Unpacked sibling of :func:`packed_resize2x_conv1x1`.  NOT WIRED: fusing
+    the interior upsample1-3 stages this way measured MUCH slower e2e
+    (406 vs 516 img/s at 512px B=128) — without the packed phase structure
+    XLA's staging/layouts for the 4-operand einsum lose to resize-then-conv.
+    Kept (and interpret-tested) as the measured record.  Exact in f32.
+    """
+    from uegan_tpu.ops.resize import _interp_matrix_np
+
+    n, h, w, c = x.shape
+    oh, ow = out_hw
+    mh = jnp.asarray(_interp_matrix_np(h, oh, True), x.dtype)
+    mw = jnp.asarray(_interp_matrix_np(w, ow, True), x.dtype)
+    prec = (
+        jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+    )
+    k = kernel[0, 0].astype(x.dtype)
+    y = jnp.einsum("oh,pw,nhwc,cq->nopq", mh, mw, x, k, precision=prec)
+    return (y + bias.astype(y.dtype)).astype(x.dtype)
+
+
 def packed_gam_stats(xp: Array, c: int, eps: float = 1e-5) -> Tuple[Array, Array]:
     """GAM mean/unbiased-std per ORIGINAL channel from a packed tensor."""
     n, hp, wp, _ = xp.shape
@@ -615,18 +640,25 @@ def make_packed_eval(bundle, packed: Dict[str, np.ndarray] = None):
         x5 = block(cd * 16, 3, 2, "enc5").apply({"params": p["enc5"]}, x4, False, False)
         x5 = gam(cd * 16).apply({"params": p["ga5"]}, x5, update_sn=False)
 
-        # NOTE: commuting the 1x1 upsample convs before the resize (exact for
-        # linear ops) was measured SLOWER here (327-335 vs 377 img/s): the
-        # halved channel counts leave the resize einsums lane-padded.
-        y1 = up(cd * 8).apply({"params": p["upsample1"]}, upsample2x_align_corners(x5), update_sn=False)
+        # Interior upsamples stay canonical: fusing their resize+1x1 conv
+        # into one UNPACKED einsum (resize2x_conv1x1) measured MUCH slower
+        # e2e (406 vs 516 img/s at 512px B=128) — unlike up4, where the
+        # packed phase structure makes the fused einsum a win.  The old
+        # conv-before-resize commute was also slower (327-335 vs 377).
+        def up_stage(name, feat, t):
+            return up(feat).apply(
+                {"params": p[name]}, upsample2x_align_corners(t), update_sn=False
+            )
+
+        y1 = up_stage("upsample1", cd * 8, x5)
         y1 = jnp.concatenate([y1, gam(cd * 8).apply({"params": p["ga4"]}, x4, update_sn=False)], -1)
         y1 = block(cd * 8, 3, 1, "dec1").apply({"params": p["dec1"]}, y1, False, False)
 
-        y2 = up(cd * 4).apply({"params": p["upsample2"]}, upsample2x_align_corners(y1), update_sn=False)
+        y2 = up_stage("upsample2", cd * 4, y1)
         y2 = jnp.concatenate([y2, gam(cd * 4).apply({"params": p["ga3"]}, x3, update_sn=False)], -1)
         y2 = block(cd * 4, 3, 1, "dec2").apply({"params": p["dec2"]}, y2, False, False)
 
-        y3 = up(cd * 2).apply({"params": p["upsample3"]}, upsample2x_align_corners(y2), update_sn=False)
+        y3 = up_stage("upsample3", cd * 2, y2)
         y3 = jnp.concatenate([y3, gam(cd * 2).apply({"params": p["ga2"]}, x2, update_sn=False)], -1)
         y3 = block(cd * 2, 3, 1, "dec3").apply({"params": p["dec3"]}, y3, False, False)
 

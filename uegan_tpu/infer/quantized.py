@@ -5,11 +5,12 @@ MXU utilization (infer/packed.py); its convs sit AT the bf16 MXU roofline
 (OPTIMIZATION_NOTES.md).  The v5e MXU runs int8 at 2x the bf16 rate and int8
 activations halve HBM traffic, so quantizing exactly those packed full-res
 convs buys back the overhead.  Measured on the v5e chip (tools/bench_int8.py,
-512px B=128): 469.6 -> 522.4 img/s (+11%) — the quantized convs themselves
-speed up ~1.8x (chained-conv microbenchmark incl. requant ops) but the
-untouched bandwidth work (resize einsum, norms, requant, layout moves)
-bounds the end-to-end gain.  Accuracy: 45.5 dB PSNR vs the bf16 packed
-forward on a unit-gain (trained-magnitude) network (tests/test_quantized.py).
+512px B=128): 568 img/s vs 516 bf16 (the quantized convs themselves speed up
+~1.8x — chained-conv microbenchmark incl. requant ops — while the bf16
+bandwidth work bounds the end-to-end gain; 470 -> 522 before the fused
+resize+conv einsums landed in both paths).  Accuracy: 45.6 dB PSNR vs the
+bf16 packed forward on a unit-gain (trained-magnitude) network
+(tests/test_quantized.py).
 
 Scheme (standard symmetric int8):
 - weights: per-output-channel scales over the PACKED kernels, with each
@@ -21,8 +22,8 @@ Scheme (standard symmetric int8):
 - convs accumulate in int32; dequant + bias + activation run fused in
   bf16/f32; the next conv's input is requantized to int8.
 - the interior (<=quarter-res canonical stages), GAM statistics/instance
-  norms, the bilinear resize, and the global residual stay bf16/f32 — they
-  are bandwidth/VPU work where int8 buys little and risks accuracy.
+  norms, the fused resize+conv einsums, and the global residual stay
+  bf16/f32 — bandwidth/VPU work where int8 buys little and risks accuracy.
 
 This path changes outputs (quantization error vs the bf16 forward — the
 equivalence test asserts >=30 dB agreement, not bitness), hence OPT-IN:
@@ -277,7 +278,9 @@ def _conv1x1_q(xq: Array, wq: Array) -> Array:
 
 
 def _interior(bundle, p, x2):
-    """Canonical bf16 interior (enc3..dec3) shared by all packed paths."""
+    """Canonical bf16 interior (enc3..dec3) shared by the int8 forward and
+    its calibration pass.  (Fusing the upsample resize+1x1 convs into
+    unpacked einsums measured SLOWER e2e — see make_packed_eval's note.)"""
     from uegan_tpu.models.blocks import ConvBlock, GAM, SNConv
     from uegan_tpu.ops.resize import upsample2x_align_corners
 
@@ -293,24 +296,26 @@ def _interior(bundle, p, x2):
         return GAM(out_nc=nc, reduction=8, use_bias=False, use_sn=False,
                    norm=True, split_fuse=True, dtype=dt, param_dtype=gm.param_dtype)
 
-    def up(features):
-        return SNConv(features=features, kernel_size=1, stride=1, use_bias=True,
-                      use_sn=False, dtype=dt, param_dtype=gm.param_dtype)
+    def up_stage(name, t):
+        return SNConv(features=p[name]["kernel"].shape[-1], kernel_size=1,
+                      stride=1, use_bias=True, use_sn=False, dtype=dt,
+                      param_dtype=gm.param_dtype).apply(
+            {"params": p[name]}, upsample2x_align_corners(t), update_sn=False)
 
     x3 = block(cd * 4, 3, 2).apply({"params": p["enc3"]}, x2, False, False)
     x4 = block(cd * 8, 3, 2).apply({"params": p["enc4"]}, x3, False, False)
     x5 = block(cd * 16, 3, 2).apply({"params": p["enc5"]}, x4, False, False)
     x5 = gam(cd * 16).apply({"params": p["ga5"]}, x5, update_sn=False)
 
-    y1 = up(cd * 8).apply({"params": p["upsample1"]}, upsample2x_align_corners(x5), update_sn=False)
+    y1 = up_stage("upsample1", x5)
     y1 = jnp.concatenate([y1, gam(cd * 8).apply({"params": p["ga4"]}, x4, update_sn=False)], -1)
     y1 = block(cd * 8, 3, 1).apply({"params": p["dec1"]}, y1, False, False)
 
-    y2 = up(cd * 4).apply({"params": p["upsample2"]}, upsample2x_align_corners(y1), update_sn=False)
+    y2 = up_stage("upsample2", y1)
     y2 = jnp.concatenate([y2, gam(cd * 4).apply({"params": p["ga3"]}, x3, update_sn=False)], -1)
     y2 = block(cd * 4, 3, 1).apply({"params": p["dec2"]}, y2, False, False)
 
-    y3 = up(cd * 2).apply({"params": p["upsample3"]}, upsample2x_align_corners(y2), update_sn=False)
+    y3 = up_stage("upsample3", y2)
     y3 = jnp.concatenate([y3, gam(cd * 2).apply({"params": p["ga2"]}, x2, update_sn=False)], -1)
     y3 = block(cd * 2, 3, 1).apply({"params": p["dec3"]}, y3, False, False)
     return y3

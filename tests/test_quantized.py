@@ -93,6 +93,19 @@ def test_config_routes_to_int8():
         Config(quantized_inference="fp8").validate()
 
 
+def test_int8_rectangular_input():
+    """The int8 path is shape-agnostic (rectangular, /16 sizes)."""
+    from uegan_tpu.infer.quantized import make_int8_eval
+
+    cfg = Config(compute_dtype="bfloat16")
+    state, bundle = create_train_state(cfg, jax.random.PRNGKey(0), (64, 96), 1)
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.uniform(-1, 1, (1, 64, 96, 3)).astype(np.float32))
+    fn = make_int8_eval(bundle, state.g_params, calib_batch=np.asarray(x))
+    y = jax.jit(fn)(None, None, x)
+    assert y.shape == x.shape and bool(jnp.isfinite(y.astype(jnp.float32)).all())
+
+
 @pytest.mark.slow
 def test_int8_packed_forward_close_to_bf16():
     """End-to-end: the int8 packed forward agrees with the bf16 packed

@@ -57,14 +57,14 @@ def bench_inference(iters: int, hw: int = 512, batch: int = 128):
     return batch * iters / (time.perf_counter() - t0)
 
 
-def bench_nima(iters: int, batch: int = 32):
+def bench_nima(iters: int, batch: int = 32, compute_dtype: str = "float32"):
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from uegan_tpu.metrics.nima import init_nima, nima_scores
 
-    model, variables = init_nima()
+    model, variables = init_nima(compute_dtype=compute_dtype)
     dev = jax.devices()[0]
     variables = jax.device_put(variables, dev)
     fn = jax.jit(lambda b: nima_scores(model, variables, b))
@@ -158,6 +158,10 @@ def main():
     if 2 not in skip:
         results["2_nima_eval_img_per_s"] = round(bench_nima(args.iters), 2)
         print(json.dumps({"config": 2, "img_per_s": results["2_nima_eval_img_per_s"]}), flush=True)
+        results["2_nima_eval_bf16_img_per_s"] = round(
+            bench_nima(args.iters, batch=256, compute_dtype="bfloat16"), 2
+        )
+        print(json.dumps({"config": "2-bf16", "img_per_s": results["2_nima_eval_bf16_img_per_s"]}), flush=True)
     if 3 not in skip:
         results["3_train_256px_b10_steps_per_s"] = round(bench_train(args.iters, 256, 10), 3)
         print(json.dumps({"config": 3, "steps_per_s": results["3_train_256px_b10_steps_per_s"]}), flush=True)

@@ -49,9 +49,17 @@ def nima_scores(model: NIMA, variables, batch01: jnp.ndarray) -> Tuple[jnp.ndarr
     return score_stats(probs)
 
 
-def init_nima(weights_path: str = "", rng_seed: int = 0):
-    """Build NIMA (+ converted torch weights when a .pth path is given)."""
-    model = NIMA()
+def init_nima(weights_path: str = "", rng_seed: int = 0, compute_dtype: str = "float32"):
+    """Build NIMA (+ converted torch weights when a .pth path is given).
+
+    ``compute_dtype='bfloat16'`` runs the conv stack on the MXU at the bf16
+    rate (params stay f32; BN statistics and the softmax head accumulate in
+    f32).  Score deviation vs f32 on the 1-10 scale: ~0.15 worst-case at
+    RANDOM init (noise logits — test-enforced bound), far smaller with
+    trained weights.  Default stays f32 for metric-fidelity parity with the
+    fp32 reference.
+    """
+    model = NIMA(dtype=jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32)
     if weights_path and os.path.exists(weights_path):
         from uegan_tpu.convert.torch_import import import_nima
 
@@ -69,12 +77,13 @@ def calc_nima(
     batch_size: int = 16,
     legacy_average: bool = False,
     verbose: bool = True,
+    compute_dtype: str = "float32",
 ) -> float:
     os.makedirs(result_save_path, exist_ok=True)
     epoch_csv = os.path.join(result_save_path, f"NIMA_epoch_{epoch}__mean_std.csv")
     total_csv = os.path.join(result_save_path, "NIMA_total_results_epoch_mean_std.csv")
 
-    model, variables = init_nima(weights_path)
+    model, variables = init_nima(weights_path, compute_dtype=compute_dtype)
     score_fn = jax.jit(lambda b: nima_scores(model, variables, b))
 
     test_imgs = sorted(os.listdir(img_path))

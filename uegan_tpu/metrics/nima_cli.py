@@ -23,6 +23,8 @@ def main(argv=None) -> None:
     p.add_argument("--out", type=str, default="nima_result.csv")
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--platform", type=str, default="", help="jax platform override (e.g. cpu)")
+    p.add_argument("--compute_dtype", type=str, default="float32",
+                   help="float32 (reference parity) or bfloat16 (MXU rate)")
     args = p.parse_args(argv)
 
     if args.platform:
@@ -37,7 +39,7 @@ def main(argv=None) -> None:
 
     from uegan_tpu.metrics.nima import init_nima, nima_scores, prepare_image_np
 
-    model, variables = init_nima(args.model)
+    model, variables = init_nima(args.model, compute_dtype=args.compute_dtype)
     score_fn = jax.jit(lambda b: nima_scores(model, variables, b))
 
     files = sorted(

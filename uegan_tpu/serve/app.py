@@ -34,12 +34,14 @@ class _Models:
     """Lazily-built jitted model handles shared across requests."""
 
     def __init__(self, nima_weights: str = "", generator_ckpt: str = "",
-                 test_img_size: int = 512, quantized_inference: str = ""):
+                 test_img_size: int = 512, quantized_inference: str = "",
+                 nima_dtype: str = "float32"):
         self._lock = threading.Lock()
         self.nima_weights = nima_weights
         self.generator_ckpt = generator_ckpt
         self.test_img_size = test_img_size
         self.quantized_inference = quantized_inference
+        self.nima_dtype = nima_dtype
         self._nima = None
         self._enhancer = None
 
@@ -52,7 +54,8 @@ class _Models:
 
         with self._lock:
             if self._nima is None:
-                model, variables = init_nima(self.nima_weights)
+                model, variables = init_nima(self.nima_weights,
+                                             compute_dtype=self.nima_dtype)
                 self._nima = jax.jit(lambda b: model.apply(variables, b, train=False))
         probs = np.asarray(self._nima(jnp.asarray(prepare_image_np(image)[None])))[0]
         buckets = np.arange(1, 11, dtype=np.float64)
@@ -186,6 +189,8 @@ if __name__ == "__main__":
     p.add_argument("--test_img_size", type=int, default=512)
     p.add_argument("--quantized_inference", default="",
                    help="'' or 'int8' — opt-in int8 enhancement path")
+    p.add_argument("--nima_dtype", default="float32",
+                   help="float32 (reference parity) or bfloat16 (20x on v5e)")
     p.add_argument("--platform", default="")
     a = p.parse_args()
     if a.platform:
@@ -194,4 +199,5 @@ if __name__ == "__main__":
         jax.config.update("jax_platforms", a.platform)
     run_server(a.host, a.port, nima_weights=a.nima_weights,
                generator_ckpt=a.generator_ckpt, test_img_size=a.test_img_size,
-               quantized_inference=a.quantized_inference)
+               quantized_inference=a.quantized_inference,
+               nima_dtype=a.nima_dtype)

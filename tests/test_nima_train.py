@@ -65,6 +65,11 @@ def test_train_nima_smoke(ava_fixture, tmp_path, monkeypatch):
     hist = train_nima(train_csv, val_csv, str(tmp_path / "nima_out"), epochs=1, batch_size=2, verbose=False)
     assert np.isfinite(hist["best_val"])
     assert os.path.exists(tmp_path / "nima_out" / "nima_best")
+    # bf16 compute (native MXU rate on v5e) trains too; params stay f32
+    hist16 = train_nima(train_csv, val_csv, str(tmp_path / "nima_out16"),
+                        epochs=1, batch_size=2, verbose=False,
+                        compute_dtype="bfloat16")
+    assert np.isfinite(hist16["best_val"])
 
 
 def _tiny_load(self, index, epoch=0):

@@ -35,6 +35,8 @@ def main(argv=None) -> None:
     st.add_argument("--num_epoch", type=int, default=5)
     st.add_argument("--init_lr", type=float, default=3e-4)
     st.add_argument("--init_weights", type=str, default="")
+    st.add_argument("--compute_dtype", type=str, default="float32",
+                    help="float32 or bfloat16 (native MXU rate on v5e)")
 
     sv = sub.add_parser("validate-model")
     sv.add_argument("--path_to_model_weight", required=True, help=".pth or orbax dir")
@@ -72,6 +74,7 @@ def main(argv=None) -> None:
             batch_size=args.batch_size,
             lr=args.init_lr,
             init_weights=args.init_weights,
+            compute_dtype=args.compute_dtype,
         )
         print("best val EMD:", hist["best_val"])
     elif args.cmd == "validate-model":

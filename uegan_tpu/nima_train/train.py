@@ -62,9 +62,12 @@ def train_nima(
     seed: int = 1990,
     init_weights: str = "",
     verbose: bool = True,
+    compute_dtype: str = "float32",
 ) -> Dict[str, float]:
     os.makedirs(out_dir, exist_ok=True)
-    model = NIMA()
+    # bfloat16 compute runs the MBv2 convs at the native MXU rate — v5e
+    # emulates f32 matmuls ~8x slower (params/optimizer state stay f32)
+    model = NIMA(dtype=jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32)
     rng = jax.random.PRNGKey(seed)
     if init_weights and os.path.exists(init_weights):
         from uegan_tpu.convert.torch_import import import_nima

@@ -96,6 +96,33 @@ def test_spatial_sharded_fast_path_matches_single_device(rng):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_tester_spatial_path_cached_and_correct(rng, tmp_path):
+    """Tester.enhance with mesh_spatial > 1 builds the GSPMD program ONCE
+    (packing/calibration/compile were previously redone per batch) and
+    matches the single-device packed forward."""
+    from uegan_tpu.config import Config
+    from uegan_tpu.infer.packed import make_fast_eval
+    from uegan_tpu.parallel.mesh import make_mesh
+    from uegan_tpu.train.tester import Tester
+
+    cfg = Config(
+        compute_dtype="float32", test_img_size=64,
+        save_root_dir=str(tmp_path), num_workers=1,
+    )
+    mesh = make_mesh(1, 4, devices=jax.devices()[:4])
+    tester = Tester({"tes": []}, cfg, mesh=mesh)
+    x = rng.uniform(-1, 1, (1, 64, 64, 3)).astype(np.float32)
+    out1 = tester.enhance(x)
+    fn_after_first = tester._spatial_fn
+    assert fn_after_first is not None
+    out2 = tester.enhance(x)
+    assert tester._spatial_fn is fn_after_first  # no rebuild on batch 2
+    ref = jax.jit(make_fast_eval(tester.bundle, tester.state.g_params))(
+        tester.state.g_params, tester.state.g_extra, jnp.asarray(x))
+    np.testing.assert_allclose(out1, np.asarray(ref), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(out2, out1, rtol=0, atol=0)
+
+
 def test_spatial_sharded_int8_matches_single_device(rng):
     """int8 quantized inference under spatial sharding == single-device int8
     (quantize rounding is elementwise; GAM reductions psum; DUS strips

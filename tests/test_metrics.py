@@ -61,6 +61,42 @@ def test_ssim_batch_matches_skimage_algorithm(rng):
     assert same > 0.9999
 
 
+def _reference_ssim_matlab_numpy(x, y, data_range=255.0):
+    """The reference's dead MATLAB-equivalent SSIM (CalcSSIM.py:93-114):
+    11x11 Gaussian sigma=1.5 window, valid region, biased covariance."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    g = np.exp(-((np.arange(11) - 5.0) ** 2) / (2 * 1.5**2))
+    g /= g.sum()
+    w = np.outer(g, g)
+
+    def gf(img):  # valid gaussian filter, single channel
+        v = sliding_window_view(img, (11, 11), axis=(0, 1))
+        return (v * w).sum(axis=(-2, -1))
+
+    C1, C2 = (0.01 * data_range) ** 2, (0.03 * data_range) ** 2
+    res = []
+    for c in range(x.shape[2]):
+        X, Y = x[..., c].astype(np.float64), y[..., c].astype(np.float64)
+        mu1, mu2 = gf(X), gf(Y)
+        s1 = gf(X * X) - mu1**2
+        s2 = gf(Y * Y) - mu2**2
+        s12 = gf(X * Y) - mu1 * mu2
+        S = ((2 * mu1 * mu2 + C1) * (2 * s12 + C2)) / ((mu1**2 + mu2**2 + C1) * (s1 + s2 + C2))
+        res.append(S.mean())
+    return float(np.mean(res))
+
+
+def test_ssim_batch_gaussian_matches_matlab_variant(rng):
+    x = (rng.random((26, 30, 3)) * 255).astype(np.float32)
+    y = np.clip(x + rng.normal(0, 15, x.shape), 0, 255).astype(np.float32)
+    ours = float(
+        ssim_batch(jnp.asarray(x[None]), jnp.asarray(y[None]), win_size=11, window="gaussian")[0]
+    )
+    ref = _reference_ssim_matlab_numpy(x, y)
+    np.testing.assert_allclose(ours, ref, rtol=1e-4)
+
+
 @pytest.fixture
 def metric_dirs(tmp_path, rng):
     gen = tmp_path / "gen"

@@ -88,6 +88,22 @@ def test_instance_norm_matches_torch(rng):
     np.testing.assert_allclose(np.asarray(ours), theirs, rtol=1e-4, atol=1e-5)
 
 
+def test_instance_norm_one_pass_conditioning(rng):
+    """The one-pass E[x^2]-E[x]^2 variance must stay accurate at the worst
+    mean/std ratio we consider reachable (|mean|/std ~ 3e2; see ops/norms.py).
+    Guards against regressions that compute the moments in bf16."""
+    x = (300.0 + rng.standard_normal((1, 32, 32, 4))).astype(np.float32)
+    ours = np.asarray(instance_norm(jnp.asarray(x)))
+    x64 = x.astype(np.float64)
+    mean = x64.mean(axis=(1, 2), keepdims=True)
+    var = x64.var(axis=(1, 2), keepdims=True)
+    exact = (x64 - mean) / np.sqrt(var + 1e-5)
+    # measured: ~3.5% scale error at this ratio in f32 (bf16 moments would
+    # be O(1) wrong); pin the few-percent regime
+    np.testing.assert_allclose(ours, exact, atol=0.2)
+    assert abs(float(np.asarray(ours).std()) - 1.0) < 5e-2
+
+
 def test_avg_pool_2x2_matches_torch(rng):
     x = rng.standard_normal((2, 8, 6, 3)).astype(np.float32)
     ours = avg_pool_2x2(jnp.asarray(x))

@@ -106,6 +106,30 @@ def test_int8_rectangular_input():
     assert y.shape == x.shape and bool(jnp.isfinite(y.astype(jnp.float32)).all())
 
 
+def test_calibration_forward_matches_packed_eval():
+    """The instrumented calibration forward (_forward_bf16_taps) must track
+    make_packed_eval's graph: the packed topology exists in more than one
+    place, and a fusion added to one but not the other silently mis-ranges
+    the int8 activation scales.  Bit-level agreement of the outputs pins the
+    two graphs together (both bf16, same helpers -> tight tolerance)."""
+    from uegan_tpu.infer.packed import make_packed_eval, pack_generator_params
+    from uegan_tpu.infer.quantized import _forward_bf16_taps
+
+    cfg = Config(compute_dtype="bfloat16")
+    state, bundle = create_train_state(cfg, jax.random.PRNGKey(0), (64, 64), 1)
+    g_params = jax.device_get(state.g_params)
+    x = jnp.asarray(
+        np.random.default_rng(3).uniform(-1, 1, (1, 64, 64, 3)).astype(np.float32)
+    )
+    packed = pack_generator_params(g_params, bundle.g_model.conv_dim)
+    ref = np.asarray(jax.jit(make_packed_eval(bundle, packed))(g_params, x), np.float32)
+    got, maxes = jax.jit(lambda xx: _forward_bf16_taps(bundle, packed, g_params, xx))(x)
+    np.testing.assert_allclose(np.asarray(got, np.float32), ref, atol=2e-2)
+    # every quantization point must have been tapped with a sane range
+    assert set(maxes) == {"x1p", "ga1p", "up4", "mod", "h5"}
+    assert all(float(v) > 0 for v in maxes.values())
+
+
 @pytest.mark.slow
 def test_int8_packed_forward_close_to_bf16():
     """End-to-end: the int8 packed forward agrees with the bf16 packed

@@ -337,10 +337,14 @@ def make_int8_eval(
     behind a range-bounding op (leaky of a bounded conv, instance norm,
     tanh) — pass real images for production use.
 
-    ``use_pallas`` routes the eligible full-res convs (ga1/up4 1x1, dec4
-    incl. the fused modulation multiply, dec5_0) through the Pallas int8
-    kernel with its fused dequant/requant epilogue (falls back per-conv to
-    the XLA chain when shapes are ineligible, e.g. W not lane-aligned).
+    ``use_pallas`` routes eligible convs through the Pallas int8 kernel with
+    its fused dequant/requant epilogue.  As measured on this stack that is
+    the 1x1 convs ONLY (in practice: ga1; up4 has no int8 conv since the
+    fused bf16 resize+conv einsum feeds the quantizer directly) — the S=2
+    dec4/dec5_0 call sites below exist but are gated off by ``_pl_ok``'s
+    S==1 check because Mosaic's s8 matmul runs at the bf16 rate here (see
+    the comment in ``_pl_ok``; relax that check to re-measure on a future
+    stack).  Ineligible shapes fall back per-conv to the XLA chain.
     """
     gm = bundle.g_model
     assert gm.norm_fun == "none" and gm.act_fun == "LeakyReLU" and not gm.use_sn, (

@@ -41,7 +41,12 @@ def make_spatial_enhancer(bundle, mesh, g_params=None) -> Callable:
 
 def enhance_spatial_sharded(bundle, mesh, g_params, g_extra, image_nhwc,
                             fast: bool = False):
-    """Enhance an NHWC batch with spatial sharding; returns device array."""
+    """One-shot convenience: enhance an NHWC batch with spatial sharding.
+
+    Rebuilds the jitted program (and, with ``fast``, re-packs kernels /
+    re-runs int8 calibration) on every call — callers in a loop should build
+    once via :func:`make_spatial_enhancer` and reuse it (as Tester.enhance
+    does)."""
     fn = make_spatial_enhancer(bundle, mesh, g_params if fast else None)
     img = jax.device_put(image_nhwc, spatial_sharding(mesh))
     params = jax.device_put(g_params, replicated(mesh))

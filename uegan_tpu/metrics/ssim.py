@@ -9,8 +9,9 @@ pad=(win-1)//2 then averaged, channel results averaged.
 
 On TPU the uniform filters are depthwise convs; the interior ("valid")
 windows are exactly skimage's cropped region, so no reflect padding is
-needed.  (A Gaussian-window MATLAB-parity variant also exists in the
-reference but is dead code — CalcSSIM.py:93-134.)
+needed.  The reference also carries a Gaussian-window MATLAB-equivalent
+variant as dead code (CalcSSIM.py:93-134: 11x11 Gaussian sigma=1.5, valid
+region, biased covariance) — available here as ``window="gaussian"``.
 """
 
 from __future__ import annotations
@@ -27,10 +28,20 @@ import numpy as np
 Array = jnp.ndarray
 
 
-def _uniform_filter_valid(x: Array, win: int) -> Array:
-    """Mean filter, VALID, per channel.  x: (N,H,W,C) float32."""
+def _gaussian_window(win: int, sigma: float) -> np.ndarray:
+    """cv2.getGaussianKernel outer product (reference: CalcSSIM.py:99-100)."""
+    g = np.exp(-((np.arange(win) - (win - 1) / 2.0) ** 2) / (2.0 * sigma * sigma))
+    g = (g / g.sum()).astype(np.float32)
+    return np.outer(g, g)
+
+
+def _window_filter_valid(x: Array, win: int, sigma: float | None = None) -> Array:
+    """Mean (or Gaussian, if sigma) filter, VALID, per channel.  x: NHWC f32."""
     c = x.shape[-1]
-    kernel = jnp.full((win, win, 1, 1), 1.0 / (win * win), jnp.float32)
+    if sigma is None:
+        kernel = jnp.full((win, win, 1, 1), 1.0 / (win * win), jnp.float32)
+    else:
+        kernel = jnp.asarray(_gaussian_window(win, sigma))[:, :, None, None]
     kernel = jnp.tile(kernel, (1, 1, 1, c))  # depthwise: HWIO with I/groups=1
     return lax.conv_general_dilated(
         x,
@@ -52,21 +63,33 @@ def ssim_batch(
     k1: float = 0.01,
     k2: float = 0.03,
     crop_border: int = 0,
+    window: str = "uniform",
 ) -> Array:
-    """Per-image SSIM for NHWC batches; skimage-default semantics."""
+    """Per-image SSIM for NHWC batches.
+
+    window="uniform": skimage-default semantics (the reference's live path).
+    window="gaussian": the MATLAB-equivalent variant (reference dead code,
+    CalcSSIM.py:93-114) — 11x11 Gaussian sigma=1.5 window, biased
+    covariance; pass win_size=11 for exact parity.
+    """
     if crop_border > 0:
         cb = crop_border
         pred = pred[:, cb:-cb, cb:-cb, :]
         target = target[:, cb:-cb, cb:-cb, :]
     x = pred.astype(jnp.float32)
     y = target.astype(jnp.float32)
-    np_win = win_size * win_size
-    cov_norm = np_win / (np_win - 1.0)
-    ux = _uniform_filter_valid(x, win_size)
-    uy = _uniform_filter_valid(y, win_size)
-    uxx = _uniform_filter_valid(x * x, win_size)
-    uyy = _uniform_filter_valid(y * y, win_size)
-    uxy = _uniform_filter_valid(x * y, win_size)
+    if window == "gaussian":
+        sigma, cov_norm = 1.5, 1.0
+    elif window == "uniform":
+        np_win = win_size * win_size
+        sigma, cov_norm = None, np_win / (np_win - 1.0)
+    else:
+        raise ValueError(f"unknown SSIM window {window!r}")
+    ux = _window_filter_valid(x, win_size, sigma)
+    uy = _window_filter_valid(y, win_size, sigma)
+    uxx = _window_filter_valid(x * x, win_size, sigma)
+    uyy = _window_filter_valid(y * y, win_size, sigma)
+    uxy = _window_filter_valid(x * y, win_size, sigma)
     vx = cov_norm * (uxx - ux * ux)
     vy = cov_norm * (uyy - uy * uy)
     vxy = cov_norm * (uxy - ux * uy)

@@ -23,7 +23,10 @@ def instance_norm(
     """Per-instance, per-channel normalization over H,W (biased variance)."""
     acc = x.astype(jnp.float32)
     # one HBM pass for both moments (like feature_mean_std): the centered
-    # two-pass form re-reads the full feature map for the variance
+    # two-pass form re-reads the full feature map for the variance.
+    # f32 E[x^2]-E[x]^2 loses ~2*log10(|mean|/std) digits to cancellation —
+    # still within a few % at |mean|/std ~ 3e2 (test-pinned); conv/VGG
+    # features stay orders of magnitude below that ratio
     mean = jnp.mean(acc, axis=(1, 2), keepdims=True)
     sq = jnp.mean(acc * acc, axis=(1, 2), keepdims=True)
     var = jnp.maximum(sq - mean * mean, 0.0)

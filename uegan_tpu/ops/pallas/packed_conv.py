@@ -115,12 +115,13 @@ def _kernel(x_hbm, kp_ref, b_ref, out_ref, slab, acc, sem, *,
     out_ref[...] = y.reshape(1, TH, W, cout).astype(out_ref.dtype)
 
 
-def _pick_th(l: int, w: int, cin: int, s: int, budget: int = 6 * 1024 * 1024) -> int:
+def _pick_th(l: int, w: int, cin: int, s: int, cout: int = 128,
+             budget: int = 6 * 1024 * 1024) -> int:
     """Largest row tile dividing l whose slab + accumulator fit VMEM."""
     th = l
     while th > 1:
         slab_b = (th + s + 1) * w * cin * 2
-        acc_b = th * w * 128 * 4
+        acc_b = th * w * cout * 4
         if slab_b + acc_b <= budget and l % th == 0:
             return th
         th //= 2
@@ -149,7 +150,7 @@ def packed_conv_pallas(
     """
     n, l, w, cin = xp.shape
     S, _, _, cout = kp.shape
-    th = th or _pick_th(l, w, cin, S)
+    th = th or _pick_th(l, w, cin, S, cout)
     grid = (n, l // th)
     return pl.pallas_call(
         functools.partial(_kernel, TH=th, W=w, S=S, s0=s0, L=l, act=act),
@@ -182,5 +183,5 @@ def eligible(xp_shape: Tuple[int, ...], kp_shape: Tuple[int, ...]) -> bool:
         and cout % 128 == 0
         and w % 128 == 0
         and l % 8 == 0
-        and l // _pick_th(l, w, cin, S) >= 2
+        and l // _pick_th(l, w, cin, S, cout) >= 2
     )

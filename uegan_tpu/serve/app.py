@@ -105,6 +105,12 @@ class _Models:
                         state = ckptr.restore(
                             os.path.abspath(self.generator_ckpt), abstract
                         )
+                    else:
+                        # never serve random-init weights on a bad path
+                        raise FileNotFoundError(
+                            f"generator_ckpt {self.generator_ckpt!r} is neither "
+                            "a .pth file nor an orbax checkpoint directory"
+                        )
                 # packed fast path (2.8x canonical; int8 when configured) —
                 # kernels transformed from the loaded weights
                 self._enhancer = (

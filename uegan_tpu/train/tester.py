@@ -74,6 +74,7 @@ class Tester:
                 print(f"=== The number of parameters of [{name}] is [{n}] or [{n / 1e6:>.4f}M] ===")
         self._eval_fn = jax.jit(make_eval_step(self.bundle))
         self._fast_fn = None  # packed fast path, built after weights load
+        self._spatial_fn = None  # GSPMD spatially-sharded program, ditto
         print("=== Models have been created ===")
 
     def _fast_eval(self, calib_batch=None):
@@ -111,6 +112,7 @@ class Tester:
         else:
             raise FileNotFoundError(f"no checkpoint for epoch {resume_epochs}: {orbax_path}[.pth]")
         self._fast_fn = None  # re-pack kernels from the loaded weights
+        self._spatial_fn = None
         print(f"=========== loaded trained models (epochs: {resume_epochs})! ===========")
 
     # ------------------------------------------------------------------
@@ -132,13 +134,19 @@ class Tester:
                 for img in np.asarray(raw_batch)
             ])
         if self.mesh.shape.get("spatial", 1) > 1:
-            from uegan_tpu.infer.spatial import enhance_spatial_sharded
+            from uegan_tpu.infer.spatial import make_spatial_enhancer
+            from uegan_tpu.parallel.sharding import replicated, spatial_sharding
 
-            out = enhance_spatial_sharded(
-                self.bundle, self.mesh, self.state.g_params, self.state.g_extra,
-                jnp.asarray(raw_batch), fast=True,
-            )
-            return np.asarray(out)
+            # built once per loaded weights: packing, int8 calibration, and
+            # the GSPMD compile all happen on the first batch only
+            if self._spatial_fn is None:
+                self._spatial_fn = make_spatial_enhancer(
+                    self.bundle, self.mesh, self.state.g_params
+                )
+            img = jax.device_put(jnp.asarray(raw_batch), spatial_sharding(self.mesh))
+            params = jax.device_put(self.state.g_params, replicated(self.mesh))
+            extra = jax.device_put(self.state.g_extra, replicated(self.mesh))
+            return np.asarray(self._spatial_fn(params, extra, img))
         b = raw_batch.shape[0]
         target_b = self.args.val_batch_size if b <= self.args.val_batch_size else b
         if b < target_b:

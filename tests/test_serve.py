@@ -81,6 +81,81 @@ def test_enhance_int8_mode(rng):
         srv.shutdown()
 
 
+def test_microbatcher_groups_and_orders():
+    """Concurrent submits share device calls; each caller gets ITS result
+    back (order-preserving distribution), padding never leaks out."""
+    from uegan_tpu.serve.app import _MicroBatcher
+
+    calls = []
+
+    def run(arrs):
+        calls.append(arrs.shape[0])
+        return arrs * 2.0
+
+    mb = _MicroBatcher(run, window_ms=200.0, max_batch=8)
+    results = {}
+
+    def worker(i):
+        results[i] = mb.submit(np.full((4,), float(i), np.float32))
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(results) == 6
+    for i in range(6):
+        np.testing.assert_array_equal(results[i], np.full((4,), 2.0 * i, np.float32))
+    # 6 requests inside a 200ms window: strictly fewer device calls than
+    # requests, every batch padded to a power-of-two bucket
+    assert mb.calls == len(calls) and len(calls) < 6
+    assert all(c in (1, 2, 4, 8) for c in calls)
+
+
+def test_microbatcher_propagates_errors():
+    from uegan_tpu.serve.app import _MicroBatcher
+
+    def boom(arrs):
+        raise RuntimeError("device on fire")
+
+    mb = _MicroBatcher(boom, window_ms=1.0, max_batch=4)
+    with pytest.raises(RuntimeError, match="device on fire"):
+        mb.submit(np.zeros((2,), np.float32))
+    # the worker survives a failed batch and serves the next one
+    mb.run_batch = lambda arrs: arrs + 1.0
+    np.testing.assert_array_equal(
+        mb.submit(np.zeros((2,), np.float32)), np.ones((2,), np.float32)
+    )
+
+
+def test_concurrent_enhance_requests(server, rng):
+    """Several simultaneous /api/enhance requests all come back correct
+    through the micro-batched path."""
+    outs = {}
+    bodies = [_png_bytes(rng) for _ in range(4)]  # rng isn't thread-safe
+
+    def hit(i):
+        conn = http.client.HTTPConnection("127.0.0.1", server, timeout=600)
+        conn.request("POST", "/api/enhance", body=bodies[i])
+        r = conn.getresponse()
+        outs[i] = (r.status, Image.open(io.BytesIO(r.read())).size)
+
+    threads = [threading.Thread(target=hit, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert all(v == (200, (32, 32)) for v in outs.values())
+
+
+def test_bad_generator_ckpt_fails_at_startup(tmp_path):
+    """A typo'd --generator_ckpt must abort server construction, not serve
+    random-init weights or 500 on the first request."""
+    with pytest.raises(FileNotFoundError):
+        create_server(host="127.0.0.1", port=0, test_img_size=32,
+                      generator_ckpt=str(tmp_path / "nope_92"))
+
+
 def test_invalid_image_400(server):
     conn = http.client.HTTPConnection("127.0.0.1", server, timeout=30)
     conn.request("POST", "/api/get_scores", body=b"not an image")

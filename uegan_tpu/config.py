@@ -182,6 +182,9 @@ class Config:
             raise ValueError(
                 f"quantized_inference [{self.quantized_inference}] is not implemented"
             )
+        for d in (self.compute_dtype, self.param_dtype):
+            if d not in ("float32", "bfloat16", "float16"):
+                raise ValueError(f"dtype [{d}] is not supported")
         return self
 
     # epoch tag used in checkpoint / result filenames: the reference formats a

@@ -17,21 +17,22 @@ import jax
 from uegan_tpu.parallel.sharding import replicated, spatial_sharding
 
 
-def make_spatial_enhancer(bundle, mesh, g_params=None) -> Callable:
+def make_spatial_enhancer(bundle, mesh, g_params=None, calib_batch=None) -> Callable:
     """Jitted G forward with image H sharded over all mesh devices.
 
     With ``g_params`` given, uses the production fast path for this config
     (packed space-to-depth, optionally int8-quantized — infer/packed.py's
-    make_fast_eval); the DUS border strips, quantize ops, and GAM
-    reductions all shard cleanly (test-enforced equal to single-device).
-    Without it, the canonical eval step.
+    make_fast_eval, with ``calib_batch`` seeding the int8 activation
+    calibration); the DUS border strips, quantize ops, and GAM reductions
+    all shard cleanly (test-enforced equal to single-device).  Without it,
+    the canonical eval step.
     """
     rep = replicated(mesh)
     sp = spatial_sharding(mesh)
     if g_params is not None:
         from uegan_tpu.infer.packed import make_fast_eval
 
-        eval_fn = make_fast_eval(bundle, g_params)
+        eval_fn = make_fast_eval(bundle, g_params, calib_batch=calib_batch)
     else:
         from uegan_tpu.train.step import make_eval_step
 

@@ -59,7 +59,7 @@ def ssim_batch(
     pred: Array,
     target: Array,
     data_range: float = 255.0,
-    win_size: int = 7,
+    win_size: int | None = None,
     k1: float = 0.01,
     k2: float = 0.03,
     crop_border: int = 0,
@@ -67,11 +67,14 @@ def ssim_batch(
 ) -> Array:
     """Per-image SSIM for NHWC batches.
 
-    window="uniform": skimage-default semantics (the reference's live path).
+    window="uniform": skimage-default semantics (the reference's live path;
+    win_size defaults to 7).
     window="gaussian": the MATLAB-equivalent variant (reference dead code,
-    CalcSSIM.py:93-114) — 11x11 Gaussian sigma=1.5 window, biased
-    covariance; pass win_size=11 for exact parity.
+    CalcSSIM.py:93-114) — Gaussian sigma=1.5 window, biased covariance;
+    win_size defaults to the MATLAB 11.
     """
+    if win_size is None:
+        win_size = 11 if window == "gaussian" else 7
     if crop_border > 0:
         cb = crop_border
         pred = pred[:, cb:-cb, cb:-cb, :]

@@ -46,7 +46,7 @@ def main(argv=None) -> None:
     cfg = Config(
         compute_dtype=args.compute_dtype,
         quantized_inference=args.quantized or "",
-    ).validate()  # reject typo'd dtype/quantized values instead of profiling the wrong path
+    ).validate()  # reject typo'd dtype/quantized values instead of silently profiling the wrong path
     state, bundle = create_train_state(cfg, jax.random.PRNGKey(0), (args.hw, args.hw), 1)
     dev = jax.devices()[0]
     state = jax.device_put(state, dev)

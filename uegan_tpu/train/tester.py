@@ -133,25 +133,32 @@ class Tester:
                 enhance_tiled(fn, img, self.args.tile_size, self.args.tile_overlap)
                 for img in np.asarray(raw_batch)
             ])
+        b = raw_batch.shape[0]
+        target_b = self.args.val_batch_size if b <= self.args.val_batch_size else b
+        if b < target_b:  # pad the tail so every batch hits the same compiled shape
+            pad = np.zeros((target_b - b,) + tuple(raw_batch.shape[1:]),
+                           np.asarray(raw_batch).dtype)
+            raw_batch = np.concatenate([np.asarray(raw_batch), pad])
         if self.mesh.shape.get("spatial", 1) > 1:
             from uegan_tpu.infer.spatial import make_spatial_enhancer
             from uegan_tpu.parallel.sharding import replicated, spatial_sharding
 
-            # built once per loaded weights: packing, int8 calibration, and
-            # the GSPMD compile all happen on the first batch only
+            # built once per loaded weights: packing, int8 calibration
+            # (seeded with this first REAL batch, like the single-device
+            # path), the replicated param upload, and the GSPMD compile all
+            # happen on the first batch only
             if self._spatial_fn is None:
-                self._spatial_fn = make_spatial_enhancer(
-                    self.bundle, self.mesh, self.state.g_params
+                self._spatial_fn = (
+                    make_spatial_enhancer(
+                        self.bundle, self.mesh, self.state.g_params,
+                        calib_batch=np.asarray(raw_batch),
+                    ),
+                    jax.device_put(self.state.g_params, replicated(self.mesh)),
+                    jax.device_put(self.state.g_extra, replicated(self.mesh)),
                 )
+            fn, params, extra = self._spatial_fn
             img = jax.device_put(jnp.asarray(raw_batch), spatial_sharding(self.mesh))
-            params = jax.device_put(self.state.g_params, replicated(self.mesh))
-            extra = jax.device_put(self.state.g_extra, replicated(self.mesh))
-            return np.asarray(self._spatial_fn(params, extra, img))
-        b = raw_batch.shape[0]
-        target_b = self.args.val_batch_size if b <= self.args.val_batch_size else b
-        if b < target_b:
-            pad = np.zeros((target_b - b,) + raw_batch.shape[1:], raw_batch.dtype)
-            raw_batch = np.concatenate([raw_batch, pad])
+            return np.asarray(fn(params, extra, img))[:b]
         fn = self._fast_eval(calib_batch=np.asarray(raw_batch))
         out = fn(self.state.g_params, self.state.g_extra, jnp.asarray(raw_batch))
         return np.asarray(out)[:b]

@@ -278,7 +278,7 @@ def run_server(host="0.0.0.0", port=5000, **model_kw) -> None:
     srv.serve_forever()
 
 
-if __name__ == "__main__":
+def main(argv=None) -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=5000)
@@ -294,7 +294,7 @@ if __name__ == "__main__":
                         "share one device program (0 disables waiting)")
     p.add_argument("--max_batch", type=int, default=16)
     p.add_argument("--platform", default="")
-    a = p.parse_args()
+    a = p.parse_args(argv)
     if a.platform:
         import jax
 
@@ -304,3 +304,7 @@ if __name__ == "__main__":
                quantized_inference=a.quantized_inference,
                nima_dtype=a.nima_dtype, batch_window_ms=a.batch_window_ms,
                max_batch=a.max_batch)
+
+
+if __name__ == "__main__":
+    main()

@@ -58,6 +58,27 @@ def test_center_crop_tool(tmp_path):
     assert Image.open(dst / "a.png").size == (64, 48)
 
 
+def test_export_model_roundtrip(tmp_path):
+    """jax.export artifact: serialize the packed forward with baked weights,
+    reload from bytes only, match the live forward exactly."""
+    from uegan_tpu.infer.packed import make_fast_eval
+    from uegan_tpu.tools.export_model import export_generator, load_exported
+
+    out = str(tmp_path / "g.jaxexport")
+    n = export_generator(out, hw=32, batch=2, compute_dtype="float32")
+    assert n > 1000 and os.path.getsize(out) == n
+
+    fn = load_exported(out)
+    x = np.random.default_rng(0).uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32)
+    got = np.asarray(fn(x))
+
+    cfg = Config(compute_dtype="float32")
+    state, bundle = create_train_state(cfg, jax.random.PRNGKey(0), (32, 32), 1)
+    ref = np.asarray(make_fast_eval(bundle, state.g_params)(
+        state.g_params, state.g_extra, jnp.asarray(x)))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
 def test_default_dataset(tmp_path):
     from PIL import Image
 

@@ -144,6 +144,14 @@ class Config:
     # +30% steps/s measured.  Same math as canonical to float tolerance but
     # NOT bit-identical — the loss-canary change was deliberate; set False
     # for the bit-canonical step.  Default-G-config only, else falls back.)
+    strip_rows: int = 0  # exact H-strip execution for huge images:
+    # 0 = auto (256-packed-row strips once the packed height reaches 1024,
+    # i.e. images >= 2048px), -1 = off, >0 = forced packed rows per strip.
+    # XLA space-blocks >=1024-row conv maps and the layout copies dominate
+    # (80% of device time at 2048px); strip slabs with reflect-extended
+    # halos keep every conv under the blocking threshold while staying
+    # EXACT (margins cover the chain's receptive reach; equality with the
+    # direct packed forward is test-enforced).  See infer/strips.py.
     quantized_inference: str = ""  # "" (off), "int8", or "int8_pallas":
     # quantize the packed full-res convs to int8 (2x MXU rate, half HBM).
     # OPT-IN and lossy (>=30 dB vs bf16, test-enforced); requires

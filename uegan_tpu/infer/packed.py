@@ -747,7 +747,27 @@ def make_fast_eval(bundle, g_params, calib_batch=None):
                               use_pallas=qi == "int8_pallas")
     packed = pack_generator_params(jax.device_get(g_params), gm.conv_dim)
     packed_fn = make_packed_eval(bundle, packed)
-    return lambda params, extra, x: packed_fn(params, x)
+    strip_cfg = getattr(bundle.config, "strip_rows", 0)
+
+    def routed(params, extra, x):
+        # huge images: route to the exact H-strip executor (infer/strips.py)
+        # — XLA space-blocks >=1024-row conv maps and drowns in layout
+        # copies (2048px: 10.7 -> ~25 img/s).  Shape is static under jit,
+        # so the choice costs nothing and each input shape compiles its own
+        # best path.
+        hp = x.shape[1] // 2
+        if strip_cfg >= 0:
+            from uegan_tpu.infer.strips import make_strip_eval, pick_strip_rows
+
+            from uegan_tpu.infer.strips import _M_EXIT
+
+            r = strip_cfg if strip_cfg > 0 else pick_strip_rows(hp)
+            if (r and hp % r == 0 and hp >= 2 * r and r % 2 == 0
+                    and r > 2 * _M_EXIT):
+                return make_strip_eval(bundle, packed, r)(params, x)
+        return packed_fn(params, x)
+
+    return routed
 
 
 # ---------------------------------------------------------------------------

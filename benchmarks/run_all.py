@@ -109,11 +109,11 @@ def bench_train(iters: int, hw: int, batch: int, remat: bool = False):
 def bench_highres(iters: int, hw: int = 2048, batch: int = 4):
     """Config 5: native-resolution 2048px enhancement.
 
-    Primary path is direct full-image inference (fits 16GB HBM easily —
-    measured 46x faster than host-side tile/stitch); the tiled paths remain
-    as beyond-HBM fallbacks (see infer/tiles.py).  Batch 4 engages the
-    fused pad-conv border strips (gated to batch >= 4): 10.5 vs 9.5 img/s
-    at batch 1.
+    make_fast_eval auto-routes huge images to the exact H-strip executor
+    (infer/strips.py): 19.0 img/s at batch 4 vs 10.8 direct (XLA
+    space-blocks >=1024-row conv maps and drowns in layout copies).  The
+    tiled paths remain as beyond-HBM fallbacks (see infer/tiles.py,
+    46x slower host-side).
     """
     import jax
     import numpy as np

@@ -761,7 +761,7 @@ def make_fast_eval(bundle, g_params, calib_batch=None):
 
             from uegan_tpu.infer.strips import _M_EXIT
 
-            r = strip_cfg if strip_cfg > 0 else pick_strip_rows(hp)
+            r = strip_cfg if strip_cfg > 0 else pick_strip_rows(hp, x.shape[0])
             if (r and hp % r == 0 and hp >= 2 * r and r % 2 == 0
                     and r > 2 * _M_EXIT):
                 return make_strip_eval(bundle, packed, r)(params, x)

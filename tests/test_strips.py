@@ -50,12 +50,12 @@ def test_strip_eval_matches_packed_bf16(rng):
 
 def test_pick_strip_rows():
     assert pick_strip_rows(512) == 0          # below the blocking threshold
-    assert pick_strip_rows(1024) == 256       # 2048px image, batch >= 2
-    assert pick_strip_rows(2048) == 256       # 4096px image
+    assert pick_strip_rows(1024) == 128       # 2048px image
+    assert pick_strip_rows(2048) == 128       # 4096px image
     assert pick_strip_rows(1152) != 0         # non-multiple falls back to a divisor
     assert 1152 % pick_strip_rows(1152) == 0
-    assert pick_strip_rows(1024, n=1) == 128  # small batch: more slabs for the MXU
-    assert pick_strip_rows(2048, n=1) == 256  # already 8 slabs at 256
+    assert pick_strip_rows(1024, n=1) == 128  # 8 slabs
+    assert pick_strip_rows(1024, n=1, target=256) == 128  # halved for slab count
 
 
 def test_fast_eval_routes_to_strips(rng):

@@ -245,7 +245,7 @@ def interleave_input_channels_traced(packed_kernel: Array, parts) -> Array:
 # ---------------------------------------------------------------------------
 # packed reflect padding
 # ---------------------------------------------------------------------------
-def packed_reflect_pad(x: Array, pad: int, c: int) -> Array:
+def packed_reflect_pad(x: Array, pad: int, c: int, axes=(1, 2)) -> Array:
     """Reflect-pad with ORIGINAL-domain semantics, done in the packed domain.
 
     Packed row m holds original rows (2m, 2m+1).  With torch-style reflect
@@ -258,6 +258,8 @@ def packed_reflect_pad(x: Array, pad: int, c: int) -> Array:
 
     Same construction per axis, using the row-phase (pi) or col-phase (pj)
     channel groups.  ``pad`` is in packed rows (= 2 original rows).
+    ``axes`` restricts the padding to a subset of the spatial axes (the
+    strip executor pads W only — its slab H edges are discarded margin).
     """
     if pad == 0:
         return x
@@ -291,8 +293,8 @@ def packed_reflect_pad(x: Array, pad: int, c: int) -> Array:
         out = jnp.concatenate(tops + [moved] + bots, axis=1)
         return jnp.moveaxis(out, 1, axis)
 
-    x = pad_axis(x, 1)
-    x = pad_axis(x, 2)
+    for axis in axes:
+        x = pad_axis(x, axis)
     return x
 
 
@@ -300,7 +302,8 @@ def packed_reflect_pad(x: Array, pad: int, c: int) -> Array:
 # packed conv application
 # ---------------------------------------------------------------------------
 def packed_conv(
-    xp: Array, kp: Array, s0: int, c_in, bias: Array = None, dtype=jnp.bfloat16
+    xp: Array, kp: Array, s0: int, c_in, bias: Array = None, dtype=jnp.bfloat16,
+    h_fixups: bool = True,
 ) -> Array:
     """Conv of a packed tensor with a packed kernel, original-reflect padding
     applied in the packed domain.  ``c_in`` is the ORIGINAL channel count
@@ -312,7 +315,12 @@ def packed_conv(
     Like ops/conv.py's ``conv2d_reflect``, the pad is never materialized when
     the shape allows: the conv runs with implicit zero padding and the border
     output rows/cols (the only windows that read a pad) are overwritten with
-    strips computed from packed-reflect-padded slabs of the border."""
+    strips computed from packed-reflect-padded slabs of the border.
+
+    ``h_fixups=False`` skips the H-border fix-ups (and the corner rows of
+    the W fix-ups): for the strip executor's slab tensors the H edges are
+    discarded margin, and the fix-up machinery (W-pad transposes of the
+    border slabs + tiny DMA copies) measured ~20%% of the 2048px step."""
     from uegan_tpu.ops import conv as _convmod
 
     S = kp.shape[0]
@@ -344,23 +352,27 @@ def packed_conv(
     ):
         y = conv_valid(xp, padding=((s0, s1), (s0, s1)))
         wslice = slice(p - s0, p + wp + s1)
-        if s0:
+        if s0 and h_fixups:
             slab = packed_reflect_pad(xp[:, :m], p, c_in)
             y = y.at[:, :s0].set(conv_valid(slab[:, p - s0 : p + s0 + s1, wslice]))
-        if s1:
+        if s1 and h_fixups:
             slab = packed_reflect_pad(xp[:, lp - m :], p, c_in)
             y = y.at[:, lp - s1 :].set(
                 conv_valid(slab[:, p + m - s0 - s1 : p + m + s1, wslice])
             )
         if s0:
-            slab = packed_reflect_pad(xp[:, :, :m], p, c_in)
+            slab = packed_reflect_pad(xp[:, :, :m], p, c_in,
+                                      axes=(1, 2) if h_fixups else (2,))
+            rows = slice(p, p + lp) if h_fixups else slice(None)
             y = y.at[:, s0 : lp - s1, :s0].set(
-                conv_valid(slab[:, p : p + lp, p - s0 : p + s0 + s1])
+                conv_valid(slab[:, rows, p - s0 : p + s0 + s1])
             )
         if s1:
-            slab = packed_reflect_pad(xp[:, :, wp - m :], p, c_in)
+            slab = packed_reflect_pad(xp[:, :, wp - m :], p, c_in,
+                                      axes=(1, 2) if h_fixups else (2,))
+            rows = slice(p, p + lp) if h_fixups else slice(None)
             y = y.at[:, s0 : lp - s1, wp - s1 :].set(
-                conv_valid(slab[:, p : p + lp, p + m - s0 - s1 : p + m + s1])
+                conv_valid(slab[:, rows, p + m - s0 - s1 : p + m + s1])
             )
     else:
         xpad = packed_reflect_pad(xp, p, c_in)

@@ -52,6 +52,7 @@ from uegan_tpu.infer.packed import (
     packed_s0_statics,
     space_to_depth,
 )
+from uegan_tpu.ops.conv import skip_h_borders
 from uegan_tpu.ops.resize import _interp_matrix_np
 
 Array = jnp.ndarray
@@ -65,14 +66,15 @@ _M_ENTRY = 10
 _M_EXIT = 6
 
 
-def pick_strip_rows(hp: int, n: int = 4, target: int = 256) -> int:
+def pick_strip_rows(hp: int, n: int = 4, target: int = 128) -> int:
     """Packed strip rows for a Hp-row packed image of batch n; 0 = don't strip.
 
     Strips pay off once XLA starts space-blocking (~1024 packed rows); the
     strip height must divide Hp and leave room for the halos.  Small batches
     halve the strip height until the slab count n*(hp/r) reaches ~8 — the
     strip batch has to feed the MXU on its own (measured at 2048px batch 1:
-    r=128 15.3 img/s vs r=256 10.6; at batch 4 both ~19, within noise).
+    r=128 15.6 img/s vs r=256 10.8).  Default 128: best at batch 4 too
+    (19.7 vs 19.3/19.5 for 256/512; 64 loses, 18.7 — halo overhead).
     """
     if hp < 1024:
         return 0
@@ -273,10 +275,13 @@ def make_strip_eval(bundle, packed: Dict[str, np.ndarray], strip_rows: int):
         # ---- entry strips: enc1, enc2, enc3 (the full-height convs) ----
         xs = _slabs(xp, s, r, E, packed_c=3)
         x1s = leaky(packed_conv(xs, pk["enc1_k"], s0s["enc1_s0"], 3,
-                                p["enc1"]["conv"]["bias"], dt))     # valid halo E-2
+                                p["enc1"]["conv"]["bias"], dt,
+                                h_fixups=False))                    # valid halo E-2
         x2s = leaky(packed_conv(x1s, pk["enc2_k"], s0s["enc2_s0"], cd,
-                                p["enc2"]["conv"]["bias"], dt))     # valid halo E-3
-        x3s = block(cd * 4, 3, 2).apply({"params": p["enc3"]}, x2s, False, False)
+                                p["enc2"]["conv"]["bias"], dt,
+                                h_fixups=False))                    # valid halo E-3
+        with skip_h_borders():
+            x3s = block(cd * 4, 3, 2).apply({"params": p["enc3"]}, x2s, False, False)
         x3 = _unslab(x3s[:, E // 2 : E // 2 + r // 2], n, s)  # (N, Hp/2, Wp/2, 4cd)
 
         # ---- direct middle: every map <= Hp/2 rows ----
@@ -332,7 +337,8 @@ def make_strip_eval(bundle, packed: Dict[str, np.ndarray], strip_rows: int):
         ga2s = strip_instance_norm(ga2s, n, s, m, 1, c2)
 
         d3s = jnp.concatenate([up3s, ga2s], -1)
-        y3s = block(cd * 2, 3, 1).apply({"params": p["dec3"]}, d3s, False, False)
+        with skip_h_borders():
+            y3s = block(cd * 2, 3, 1).apply({"params": p["dec3"]}, d3s, False, False)
 
         # up4: fused x2-resize + 1x1 conv, per-strip H matrices (see
         # packed_resize2x_conv1x1 for the einsum staging rationale)
@@ -363,11 +369,11 @@ def make_strip_eval(bundle, packed: Dict[str, np.ndarray], strip_rows: int):
 
         y4s = leaky(packed_conv(
             jnp.concatenate([up4s, ga1s], -1), pk["dec4_k"], s0s["dec4_s0"],
-            [cd, cd], p["dec4"]["conv"]["bias"], dt))
+            [cd, cd], p["dec4"]["conv"]["bias"], dt, h_fixups=False))
         h5s = packed_conv(y4s * x1es, pk["dec5_0_k"], s0s["dec5_0_s0"], cd,
-                          p["dec5_0"]["bias"], dt)
+                          p["dec5_0"]["bias"], dt, h_fixups=False)
         ress = jnp.tanh(packed_conv(h5s, pk["dec5_1_k"], s0s["dec5_1_s0"], cd,
-                                    p["dec5_1"]["bias"], dt))
+                                    p["dec5_1"]["bias"], dt, h_fixups=False))
         xes = xs[:, E - m : E + r + m]
         outs = jnp.clip(ress.astype(jnp.float32) + xes.astype(jnp.float32),
                         -1.0, 1.0)

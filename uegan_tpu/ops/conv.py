@@ -39,6 +39,33 @@ FUSED_PAD_CONV = os.environ.get("UEGAN_TPU_FUSED_PAD", "1") != "0"
 # tests can force either path.
 FUSED_PAD_MIN_BATCH = int(os.environ.get("UEGAN_TPU_FUSED_PAD_MIN_BATCH", "4"))
 
+# Trace-time flag (see skip_h_borders below): while True, conv2d_reflect
+# leaves the H-border output rows zero-pad-contaminated instead of fixing
+# them up.  Set only around convs whose H edges are discarded margin (the
+# strip executor's slab tensors, infer/strips.py).
+_SKIP_H_BORDERS = False
+
+
+class skip_h_borders:
+    """Context manager: trace convs with H-border fix-ups skipped.
+
+    For slab tensors the H edges are fake (reflect-halo margin, discarded at
+    reassembly) — the fix-up work and its layout copies are pure waste.  The
+    flag is read at TRACE time, so it must wrap the model apply, not the
+    jitted call."""
+
+    def __enter__(self):
+        import uegan_tpu.ops.conv as _self
+
+        self._prev = _self._SKIP_H_BORDERS
+        _self._SKIP_H_BORDERS = True
+
+    def __exit__(self, *exc):
+        import uegan_tpu.ops.conv as _self
+
+        _self._SKIP_H_BORDERS = self._prev
+        return False
+
 
 def conv2d_nhwc(
     x: jnp.ndarray,
@@ -127,11 +154,11 @@ def conv2d_reflect(
     if i_ok_h + 1 < t_top or i_ok_w + 1 < t_top:  # degenerate tiny input
         return conv2d_nhwc(reflect_pad_2d(x, pad), kernel, stride, dilation, dtype)
 
-    if t_top:
+    if t_top and not _self._SKIP_H_BORDERS:
         hi = s * (t_top - 1) - pad + k  # input rows [0, hi) feed the top strip
         slab = jnp.concatenate([_flip_slice(x, 1, 1, pad + 1), x[:, :hi]], axis=1)
         y = y.at[:, :t_top].set(conv_v(_wpad_reflect(slab, pad, w)))
-    if n_bot:
+    if n_bot and not _self._SKIP_H_BORDERS:
         lo = s * (i_ok_h + 1) - pad  # first input row for the bottom strip
         bot_pad = s * (ho - 1) - pad + k - h  # rows past the end, reflected
         slab = jnp.concatenate(

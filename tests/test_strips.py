@@ -28,6 +28,8 @@ def _setup(hw, dtype="float32"):
     ((2, 64, 64), 16),    # S=2 strips
     ((1, 96, 64), 16),    # S=3, rectangular
     ((1, 128, 96), 32),   # S=2, wider strip
+    ((1, 112, 64), 14),   # S=4, non-multiple-of-16 divisor (pick_strip_rows
+                          # now returns any even divisor of hp)
 ])
 def test_strip_eval_matches_packed(rng, shape, r):
     n, h, w = shape
@@ -48,12 +50,88 @@ def test_strip_eval_matches_packed_bf16(rng):
     np.testing.assert_allclose(got, ref, atol=2e-2)
 
 
+@pytest.mark.parametrize("shape,r,cs", [
+    ((1, 128, 96), 16, 2),   # S=4 -> 2 chunks
+    ((2, 128, 64), 16, 2),   # batched, N-major slab order across chunks
+    ((1, 96, 64), 16, 1),    # S=3 -> 3 single-strip chunks
+])
+def test_chunked_strip_eval_matches_unchunked(rng, shape, r, cs):
+    """Chunked exit execution (lax.map over strip chunks, precomputed GAM-IN
+    moments) must be numerically the unchunked strip program — same per-strip
+    partials, same reductions, same convs."""
+    n, h, w = shape
+    state, bundle, g_params, packed = _setup((h, w))
+    x = jnp.asarray(rng.uniform(-1, 1, (n, h, w, 3)).astype(np.float32))
+    un = np.asarray(jax.jit(make_strip_eval(bundle, packed, r, -1))(g_params, x))
+    ch = np.asarray(jax.jit(make_strip_eval(bundle, packed, r, cs))(g_params, x))
+    np.testing.assert_allclose(ch, un, rtol=1e-6, atol=1e-6)
+    ref = np.asarray(jax.jit(make_packed_eval(bundle, packed))(g_params, x))
+    np.testing.assert_allclose(ch, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_chunked_strip_eval_bf16(rng):
+    state, bundle, g_params, packed = _setup((128, 64), "bfloat16")
+    x = jnp.asarray(rng.uniform(-1, 1, (1, 128, 64, 3)).astype(np.float32))
+    un = np.asarray(jax.jit(make_strip_eval(bundle, packed, 16, -1))(g_params, x),
+                    np.float32)
+    ch = np.asarray(jax.jit(make_strip_eval(bundle, packed, 16, 2))(g_params, x),
+                    np.float32)
+    np.testing.assert_allclose(ch, un, atol=1e-2)
+
+
+def test_slab_unpack_matches(rng, monkeypatch):
+    """The per-slab depth_to_space form (taken for >= _SLAB_UNPACK_MIN maps
+    and always when chunked) must equal the full-height unpack."""
+    import uegan_tpu.infer.strips as strips
+
+    state, bundle, g_params, packed = _setup((128, 64))
+    x = jnp.asarray(rng.uniform(-1, 1, (1, 128, 64, 3)).astype(np.float32))
+    full = np.asarray(jax.jit(make_strip_eval(bundle, packed, 16, -1))(g_params, x))
+    monkeypatch.setattr(strips, "_SLAB_UNPACK_MIN", 8)
+    slab = np.asarray(jax.jit(make_strip_eval(bundle, packed, 16, -1))(g_params, x))
+    assert np.array_equal(slab, full)
+
+
+def test_space_to_depth_rows_bitwise(rng):
+    from uegan_tpu.infer.packed import space_to_depth
+    from uegan_tpu.infer.strips import space_to_depth_rows
+
+    x = jnp.asarray(rng.uniform(-1, 1, (2, 16, 12, 3)).astype(np.float32))
+    assert np.array_equal(np.asarray(space_to_depth_rows(x)),
+                          np.asarray(space_to_depth(x)))
+
+
+def test_pick_strip_chunks():
+    from uegan_tpu.infer.strips import pick_strip_chunks
+
+    # 2048px batch 4 (the official config-5 bench): fits unchunked, must
+    # NOT regress to chunked execution
+    assert pick_strip_chunks(4, 8, 140, 1024) == 8
+    # 4096px batch 1 and 2: measured to fit unchunked (3.54 / 3.53 img/s)
+    # and chunking costs ~6% -> must stay unchunked
+    assert pick_strip_chunks(1, 16, 140, 2048) == 16
+    assert pick_strip_chunks(2, 16, 140, 2048) == 16
+    # 8192px batch 1: OOMs unchunked and at 16 strips/chunk; 8 measured to
+    # fit (1.01 img/s)
+    assert pick_strip_chunks(1, 32, 140, 4096) == 8
+
+
 def test_pick_strip_rows():
     assert pick_strip_rows(512) == 0          # below the blocking threshold
     assert pick_strip_rows(1024) == 128       # 2048px image
     assert pick_strip_rows(2048) == 128       # 4096px image
     assert pick_strip_rows(1152) != 0         # non-multiple falls back to a divisor
     assert 1152 % pick_strip_rows(1152) == 0
+    # arbitrary even divisors: real photo sizes that aren't multiples of 16
+    assert pick_strip_rows(2000) == 100       # 4000x6000 DSLR (hp=2000)
+    assert pick_strip_rows(1500) == 150       # 3000px image
+    for hp in (1250, 1458, 2000, 1500):
+        r = pick_strip_rows(hp)
+        assert r == 0 or (hp % r == 0 and r % 2 == 0 and r > 12)
+    # small batch halving never yields an odd strip height
+    for hp in (1500, 2000):
+        r = pick_strip_rows(hp, n=1)
+        assert r == 0 or (hp % r == 0 and r % 2 == 0 and r > 12)
     assert pick_strip_rows(1024, n=1) == 128  # 8 slabs
     assert pick_strip_rows(1024, n=1, target=256) == 128  # halved for slab count
 

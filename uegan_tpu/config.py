@@ -152,6 +152,14 @@ class Config:
     # halos keep every conv under the blocking threshold while staying
     # EXACT (margins cover the chain's receptive reach; equality with the
     # direct packed forward is test-enforced).  See infer/strips.py.
+    strip_chunks: int = 0  # strips per exit-chain chunk in the strip
+    # executor: 0 = auto (chunk only when the unchunked exit chain would
+    # blow HBM — e.g. 8192px single-chip, which OOMed at compile unchunked;
+    # 4096px fits and stays unchunked), -1 = never chunk, >0 = forced
+    # strips per chunk.  Chunked execution runs dec3..output (including the
+    # space-to-depth unpack) under lax.map so only one chunk's slab
+    # temporaries are live; numerics are identical (chunked == unchunked is
+    # test-enforced).  See infer/strips.py:make_strip_eval.
     quantized_inference: str = ""  # "" (off), "int8", or "int8_pallas":
     # quantize the packed full-res convs to int8 (2x MXU rate, half HBM).
     # OPT-IN and lossy (>=30 dB vs bf16, test-enforced); requires

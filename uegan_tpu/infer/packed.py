@@ -776,7 +776,8 @@ def make_fast_eval(bundle, g_params, calib_batch=None):
             r = strip_cfg if strip_cfg > 0 else pick_strip_rows(hp, x.shape[0])
             if (r and hp % r == 0 and hp >= 2 * r and r % 2 == 0
                     and r > 2 * _M_EXIT):
-                return make_strip_eval(bundle, packed, r)(params, x)
+                chunks = getattr(bundle.config, "strip_chunks", 0)
+                return make_strip_eval(bundle, packed, r, chunks)(params, x)
         return packed_fn(params, x)
 
     return routed

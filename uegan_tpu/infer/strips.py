@@ -50,7 +50,6 @@ from uegan_tpu.infer.packed import (
     packed_conv,
     packed_reflect_pad,
     packed_s0_statics,
-    space_to_depth,
 )
 from uegan_tpu.ops.conv import skip_h_borders
 from uegan_tpu.ops.resize import _interp_matrix_np
@@ -64,6 +63,13 @@ Array = jnp.ndarray
 _M_ENTRY = 10
 # exit: dec3 (1) + up4 resize (1) + dec4 (1) + dec5_0 (1) + dec5_1 (7x7, 2)
 _M_EXIT = 6
+# packed rows/cols above which the space-to-depth unpack runs per slab
+# instead of on the full-height reassembly (measured: full-height wins at
+# 2048px b4, 20.5 vs 18.2 img/s; per-slab wins at 4096px b1, 4.1 vs 3.5,
+# and is REQUIRED once the exit is chunked — the full-height 6-d unpack
+# reshape tile-pads its size-2 minor dims 64x and blew compile-time HBM at
+# 8192px).  Tests shrink this to cover the per-slab form on tiny shapes.
+_SLAB_UNPACK_MIN = 2048
 
 
 def pick_strip_rows(hp: int, n: int = 4, target: int = 128) -> int:
@@ -76,19 +82,39 @@ def pick_strip_rows(hp: int, n: int = 4, target: int = 128) -> int:
     r=128 15.6 img/s vs r=256 10.8).  Default 128: best at batch 4 too
     (19.7 vs 19.3/19.5 for 256/512; 64 loses, 18.7 — halo overhead).
     """
+    import math
+
     if hp < 1024:
         return 0
     r = 0
-    if hp % target == 0:
-        r = target
-    else:
-        for d in range(target, 4 * _M_EXIT, -16):
-            if hp % d == 0:
-                r = d
-                break
-    while r and n * (hp // r) < 8 and r % 2 == 0 and (r // 2) > 2 * _M_EXIT:
+    # any EVEN divisor of hp works (strips stay exact); pick the one
+    # nearest the measured sweet spot, ties toward larger (64 loses more
+    # than 256 at 2048px: 18.7 vs 19.3 img/s) — covers real photo sizes
+    # like 4000x6000 (hp=2000 -> r=100) that aren't multiples of 16
+    for d in range(2 * _M_EXIT + 2, min(hp // 2, 4 * target) + 1, 2):
+        if hp % d == 0 and (
+                r == 0 or (abs(math.log2(d / target)), -d)
+                < (abs(math.log2(r / target)), -r)):
+            r = d
+    while r and n * (hp // r) < 8 and r % 4 == 0 and (r // 2) > 2 * _M_EXIT:
         r //= 2
     return r
+
+
+def space_to_depth_rows(x: Array) -> Array:
+    """space_to_depth without the 6-d transpose (bitwise-identical result).
+
+    The canonical reshape-transpose-reshape form makes XLA materialize a
+    6-d intermediate whose size-2 dims land in the tiled minor positions —
+    at 8192px that tile padding turned a 402 MB tensor into a 25.7 GB
+    allocation at compile time.  Here the W/channel pack is a free
+    contiguous reshape ((pj, c) pairs are adjacent in memory) and the H
+    pack is two strided row slices concatenated pi-major on channels, so
+    no transpose with tiny minor dims ever exists.
+    """
+    n, h, w, c = x.shape
+    xw = x.reshape(n, h, w // 2, 2 * c)  # (pj, c) channel pairs, contiguous
+    return jnp.concatenate([xw[:, 0::2], xw[:, 1::2]], axis=-1)
 
 
 def _pad_rows_top_bot(x: Array, pad: int):
@@ -185,13 +211,60 @@ def _strip_up3_matrices(hp: int, s: int, r: int, m: int):
     return mats.astype(np.float32), starts, win
 
 
-def make_strip_eval(bundle, packed: Dict[str, np.ndarray], strip_rows: int):
+def pick_strip_chunks(n: int, s: int, hs: int, wp: int) -> int:
+    """Strips per exit chunk; ``s`` (everything in one chunk) = don't chunk.
+
+    The unchunked exit chain materializes ~15 slab-batch temporaries at
+    once; past ~4096px-batch-2 worth of slab area that exceeds the 16 GB
+    v5e HBM.  Chunking bounds the live set to one chunk's temporaries via
+    lax.map, at a measured ~6% throughput cost (4096px b1: 3.54 img/s
+    unchunked vs 3.34 at 2 chunks), so chunk only when needed.
+
+    Measured anchors (v5e, bf16):
+    - 4096px batch 2 (slab pixels 2*16*140*2048 = 9.2M) is the largest
+      configuration measured to fit unchunked (3.53 img/s);
+    - 8192px batch 1 (18.4M slab pixels) fits at 8 strips/chunk
+      (1.01 img/s; chunk slab pixels 8*140*4096 = 4.6M) and OOMs at 16
+      (the full-height entry outputs alone hold ~11 GB there, leaving
+      ~4.6 GB for one chunk's exit temporaries).
+
+    So: unchunked up to the 9.2M-slab-pixel anchor; above it, the largest
+    divisor of the strip count whose chunk stays at or under 4.6M slab
+    pixels, keeping >= 8 slab-512-col-equivalents per chunk so each chunk
+    still feeds the MXU on its own.
+    """
+    fit_sp = 2 * 16 * 140 * 2048  # largest slab-pixel count measured unchunked
+    chunk_sp = 8 * 140 * 4096  # largest per-chunk slab pixels measured to fit
+    if n * s * hs * wp <= fit_sp:
+        return s
+    cs = max(1, chunk_sp // (n * hs * wp))
+    while s % cs:  # must divide the strip count
+        cs -= 1
+    min_feed = max(1, (8 * 512) // max(n * wp, 1))
+    while cs < min(min_feed, s) and cs < s:
+        cs += 1
+        while s % cs:
+            cs += 1
+    return cs
+
+
+def make_strip_eval(bundle, packed: Dict[str, np.ndarray], strip_rows: int,
+                    chunk_strips: int = 0):
     """Jittable strip-wise packed forward: fn(params, x) -> enhanced.
 
     Same contract and numerics as make_packed_eval's fn (exactness is
     test-enforced); only valid for the default generator config and for
     inputs whose packed height is a multiple of ``strip_rows`` with
     ``strip_rows > 2 * _M_EXIT``.
+
+    ``chunk_strips``: strips per exit-chain chunk — the dec3..output slab
+    work runs under ``lax.map`` over chunks so only one chunk's temporaries
+    are live (the GAM instance-norm moments come from a cheap chunked
+    pre-pass over the same 1x1 convs; per-strip partials and the final
+    reductions are identical to the unchunked math).  0 = auto
+    (pick_strip_chunks: chunk only when the unchunked exit would blow HBM
+    — e.g. 4096px, which RESOURCE_EXHAUSTed unchunked), -1 = never, >0 =
+    forced (rounded down to a divisor of the strip count).
     """
     from uegan_tpu.models.blocks import ConvBlock, GAM, SNConv
     from uegan_tpu.ops.resize import upsample2x_align_corners
@@ -270,7 +343,7 @@ def make_strip_eval(bundle, packed: Dict[str, np.ndarray], strip_rows: int):
         E, m = _M_ENTRY, _M_EXIT
         hs = r + 2 * m
 
-        xp = space_to_depth(x.astype(dt))  # (N, Hp, Wp, 12)
+        xp = space_to_depth_rows(x.astype(dt))  # (N, Hp, Wp, 12)
 
         # ---- entry strips: enc1, enc2, enc3 (the full-height convs) ----
         xs = _slabs(xp, s, r, E, packed_c=3)
@@ -290,6 +363,18 @@ def make_strip_eval(bundle, packed: Dict[str, np.ndarray], strip_rows: int):
         x5 = gam(cd * 16).apply({"params": p["ga5"]}, x5, update_sn=False)
 
         def up_stage(name, feat, t):
+            # On huge maps (resize output past the matmul-resize cutoff,
+            # i.e. the gather path), run the 1x1 conv FIRST: pointwise-
+            # linear commutes with bilinear resize (align-corners rows sum
+            # to 1, so the bias is preserved too) and the conv halves the
+            # channel count, halving every resize temporary — at 8192px the
+            # conv-after-resize order put ~6 GB of gather temps on the
+            # middle's 2048^2 maps.  On bench-sized maps the canonical
+            # order measured faster (2048px b4: 19.6 vs 17.6 img/s), so
+            # keep it there.
+            if 2 * t.shape[1] > 1024:
+                y = up(feat).apply({"params": p[name]}, t, update_sn=False)
+                return upsample2x_align_corners(y)
             return up(feat).apply(
                 {"params": p[name]}, upsample2x_align_corners(t), update_sn=False
             )
@@ -307,21 +392,22 @@ def make_strip_eval(bundle, packed: Dict[str, np.ndarray], strip_rows: int):
         # ---- strip re-entry: up3 emitted directly in slab form ----
         # banded per-strip H matrices x phase-split W matrix x 1x1 kernel in
         # one einsum (packed_resize2x_conv1x1's staging, slab output)
-        mats3, starts3, win3 = _strip_up3_matrices(hp, s, r, m)
+        mats3_np, starts3, win3 = _strip_up3_matrices(hp, s, r, m)
+        mats3 = jnp.asarray(mats3_np, dt)
         w2 = wp // 2
-        y2w = jnp.stack([y2[:, o : o + win3] for o in starts3], axis=1)
         mw = _interp_matrix_np(w2, wp, True)
         mwp2 = jnp.asarray(mw.reshape(w2, 2, w2).transpose(1, 0, 2), dt)
         k3 = p["upsample3"]["kernel"][0, 0].astype(dt)
-        up3s = jnp.einsum("soh,fpw,nshwc,cq->nsopfq", jnp.asarray(mats3, dt),
-                          mwp2, y2w, k3, precision=prec)
-        up3s = up3s.reshape(n, s, hs, wp, cd * 2).reshape(n * s, hs, wp, cd * 2)
-        up3s = (up3s + p["upsample3"]["bias"].astype(up3s.dtype)).astype(dt)
+        b3 = p["upsample3"]["bias"]
+        # up4: fused x2-resize + 1x1 conv, per-strip H matrices (see
+        # packed_resize2x_conv1x1 for the einsum staging rationale)
+        mats4 = jnp.asarray(_strip_resize_matrices(hp, s, r, m), dt)
+        mwh = _interp_matrix_np(wp, 2 * wp, True)
+        mwp = jnp.asarray(mwh.reshape(wp, 2, wp).transpose(1, 0, 2), dt)
+        k4 = p["upsample4"]["kernel"][0, 0].astype(dt)
 
-        # ga2 in-chain on a SLICE of the entry x2 slabs: manual split-fuse
-        # (fuse(concat[x, bcast(h)]) == x @ kx + h @ kh + b), SE vector and
-        # IN moments from strip interiors
-        x2gs = x2s[:, E - m : E + r + m]
+        # global SE vectors (split-fuse consts: fuse(concat[x, bcast(h)]) ==
+        # x @ kx + h @ kh + b), from the full entry outputs
         c2 = cd * 2
         mean2, std2 = se_stats(x2s, n, s, E, 1, c2, hp * wp)
         stats2 = jnp.concatenate([mean2, std2], -1).astype(dt)
@@ -330,61 +416,171 @@ def make_strip_eval(bundle, packed: Dict[str, np.ndarray], strip_rows: int):
         hvec2 = jax.nn.relu(stats2 @ sq2) @ ex2
         kx2 = p["ga2"]["fuse"]["kernel"][0, 0, :c2, :].astype(dt)
         kh2 = p["ga2"]["fuse"]["kernel"][0, 0, c2:, :].astype(dt)
-        ga2s = jnp.einsum("nhwc,cq->nhwq", x2gs, kx2, precision=prec)
-        ga2s = ga2s + p["ga2"]["fuse"]["bias"].astype(ga2s.dtype)
         hc2 = (hvec2 @ kh2)[:, None, None, :]
-        ga2s = (ga2s + jnp.repeat(hc2, s, axis=0).astype(ga2s.dtype)).astype(dt)
-        ga2s = strip_instance_norm(ga2s, n, s, m, 1, c2)
 
-        d3s = jnp.concatenate([up3s, ga2s], -1)
-        with skip_h_borders():
-            y3s = block(cd * 2, 3, 1).apply({"params": p["dec3"]}, d3s, False, False)
-
-        # up4: fused x2-resize + 1x1 conv, per-strip H matrices (see
-        # packed_resize2x_conv1x1 for the einsum staging rationale)
-        mats = jnp.asarray(_strip_resize_matrices(hp, s, r, m), dt)
-        mwh = _interp_matrix_np(wp, 2 * wp, True)
-        mwp = jnp.asarray(mwh.reshape(wp, 2, wp).transpose(1, 0, 2), dt)
-        k4 = p["upsample4"]["kernel"][0, 0].astype(dt)
-        y3r = y3s.reshape(n, s, hs, wp, cd * 2)
-        up4s = jnp.einsum("seoh,fpw,nshwc,cq->nsopefq", mats, mwp, y3r, k4,
-                          precision=prec)
-        up4s = up4s.reshape(n * s, hs, wp, 4 * cd)
-        up4s = (up4s + jnp.tile(p["upsample4"]["bias"].astype(up4s.dtype), 4)
-                ).astype(dt)
-
-        # ga1 in-chain on a SLICE of the entry x1 slabs (same split as ga2,
-        # packed domain: 4 phase groups)
-        x1es = x1s[:, E - m : E + r + m]
         mean1, std1 = se_stats(x1s, n, s, E, 4, cd, h * w)
         stats1 = jnp.concatenate([mean1, std1], -1).astype(dt)
         sq1 = p["ga1"]["squeeze"]["kernel"][0, 0].astype(dt)
         ex1 = p["ga1"]["excite"]["kernel"][0, 0].astype(dt)
         hvec = jax.nn.relu(stats1 @ sq1) @ ex1
         kh = p["ga1"]["fuse"]["kernel"][0, 0, cd:, :].astype(dt)
-        ga1s = conv1x1(x1es, pk["ga1_fuse_x_k"], p["ga1"]["fuse"]["bias"])
         hc = jnp.tile(hvec @ kh, (1, 4))[:, None, None, :]
-        ga1s = ga1s + jnp.repeat(hc, s, axis=0).astype(ga1s.dtype)
-        ga1s = strip_instance_norm(ga1s, n, s, m, 4, cd)
 
-        y4s = leaky(packed_conv(
-            jnp.concatenate([up4s, ga1s], -1), pk["dec4_k"], s0s["dec4_s0"],
-            [cd, cd], p["dec4"]["conv"]["bias"], dt, h_fixups=False))
-        h5s = packed_conv(y4s * x1es, pk["dec5_0_k"], s0s["dec5_0_s0"], cd,
-                          p["dec5_0"]["bias"], dt, h_fixups=False)
-        ress = jnp.tanh(packed_conv(h5s, pk["dec5_1_k"], s0s["dec5_1_s0"], cd,
-                                    p["dec5_1"]["bias"], dt, h_fixups=False))
-        xes = xs[:, E - m : E + r + m]
-        outs = jnp.clip(ress.astype(jnp.float32) + xes.astype(jnp.float32),
-                        -1.0, 1.0)
-        out = _unslab(outs[:, m : m + r].astype(dt), n, s)
-        return depth_to_space(out)
+        def ga2_vals(x2part, reps):
+            g = jnp.einsum("nhwc,cq->nhwq", x2part, kx2, precision=prec)
+            g = g + p["ga2"]["fuse"]["bias"].astype(g.dtype)
+            return (g + jnp.repeat(hc2, reps, axis=0).astype(g.dtype)).astype(dt)
+
+        def ga1_vals(x1part, reps):
+            g = conv1x1(x1part, pk["ga1_fuse_x_k"], p["ga1"]["fuse"]["bias"])
+            return g + jnp.repeat(hc, reps, axis=0).astype(g.dtype)
+
+        def apply_in(ts, norm, reps, phases, c):
+            """strip_instance_norm's application with precomputed moments."""
+            gmean, gscale = norm
+
+            def bcast(v):
+                return jnp.repeat(jnp.tile(v, (1, phases)), reps, axis=0)[:, None, None, :]
+
+            return ((ts.astype(jnp.float32) - bcast(gmean)) * bcast(gscale)
+                    ).astype(ts.dtype)
+
+        def exit_strips(x1c, x2c, xc, m3c, y2wc, m4c, sc, norm1, norm2,
+                        slab_unpack):
+            """dec3..output on ``sc`` strips of every image.
+
+            x1c/x2c/xc: (n*sc, r+2E, wp, C) entry/input slabs.  norm1/norm2
+            None -> GAM-IN moments computed inline from these strips (exact
+            only when sc == s); else (mean, scale) global f32 pairs.
+            ``slab_unpack``: apply depth_to_space per slab (returns
+            (n*sc, 2r, 2wp, 3)) instead of leaving the packed slabs
+            (n*sc, r, wp, 12) for a full-height unpack.
+            """
+            ns = n * sc
+            up3s = jnp.einsum("soh,fpw,nshwc,cq->nsopfq", m3c, mwp2, y2wc,
+                              k3, precision=prec)
+            up3s = up3s.reshape(n, sc, hs, wp, c2).reshape(ns, hs, wp, c2)
+            up3s = (up3s + b3.astype(up3s.dtype)).astype(dt)
+
+            # ga2 in-chain on a SLICE of the entry x2 slabs
+            ga2s = ga2_vals(x2c[:, E - m : E + r + m], sc)
+            ga2s = (strip_instance_norm(ga2s, n, s, m, 1, c2) if norm2 is None
+                    else apply_in(ga2s, norm2, sc, 1, c2))
+
+            d3s = jnp.concatenate([up3s, ga2s], -1)
+            with skip_h_borders():
+                y3s = block(c2, 3, 1).apply({"params": p["dec3"]}, d3s, False, False)
+
+            y3r = y3s.reshape(n, sc, hs, wp, c2)
+            up4s = jnp.einsum("seoh,fpw,nshwc,cq->nsopefq", m4c, mwp, y3r, k4,
+                              precision=prec)
+            up4s = up4s.reshape(ns, hs, wp, 4 * cd)
+            up4s = (up4s + jnp.tile(p["upsample4"]["bias"].astype(up4s.dtype), 4)
+                    ).astype(dt)
+
+            # ga1 in-chain on a SLICE of the entry x1 slabs (packed domain:
+            # 4 phase groups)
+            x1es = x1c[:, E - m : E + r + m]
+            ga1s = ga1_vals(x1es, sc)
+            ga1s = (strip_instance_norm(ga1s, n, s, m, 4, cd) if norm1 is None
+                    else apply_in(ga1s, norm1, sc, 4, cd))
+
+            y4s = leaky(packed_conv(
+                jnp.concatenate([up4s, ga1s], -1), pk["dec4_k"], s0s["dec4_s0"],
+                [cd, cd], p["dec4"]["conv"]["bias"], dt, h_fixups=False))
+            h5s = packed_conv(y4s * x1es, pk["dec5_0_k"], s0s["dec5_0_s0"], cd,
+                              p["dec5_0"]["bias"], dt, h_fixups=False)
+            ress = jnp.tanh(packed_conv(h5s, pk["dec5_1_k"], s0s["dec5_1_s0"], cd,
+                                        p["dec5_1"]["bias"], dt, h_fixups=False))
+            outs = jnp.clip(ress.astype(jnp.float32)
+                            + xc[:, E - m : E + r + m].astype(jnp.float32),
+                            -1.0, 1.0)
+            # the unpack commutes with reassembly (strips are whole packed
+            # rows), so it can run per slab — see _SLAB_UNPACK_MIN
+            if slab_unpack:
+                return depth_to_space(outs[:, m : m + r].astype(dt))
+            return outs[:, m : m + r].astype(dt)
+
+        if chunk_strips > 0:
+            cs = min(chunk_strips, s)
+            while s % cs:
+                cs -= 1
+        elif chunk_strips < 0:
+            cs = s
+        else:
+            cs = pick_strip_chunks(n, s, hs, wp)
+
+        if cs >= s:
+            slab_unpack = max(hp, wp) >= _SLAB_UNPACK_MIN
+            y2w = jnp.stack([y2[:, o : o + win3] for o in starts3], axis=1)
+            outs = exit_strips(x1s, x2s, xs, mats3, y2w, mats4, s, None, None,
+                               slab_unpack)
+            if slab_unpack:
+                return _unslab(outs, n, s)
+            return depth_to_space(_unslab(outs, n, s))
+
+        # ---- chunked exit: lax.map over strip chunks bounds live slabs ----
+        nch = s // cs
+        rows_e = r + 2 * E
+        x1r = x1s.reshape(n, s, rows_e, wp, x1s.shape[-1])
+        x2r = x2s.reshape(n, s, rows_e, wp, x2s.shape[-1])
+        xr = xs.reshape(n, s, rows_e, wp, xs.shape[-1])
+        starts_arr = jnp.asarray(starts3, jnp.int32)
+
+        def chunk_slabs(t, c0):
+            tc = jax.lax.dynamic_slice_in_dim(t, c0, cs, axis=1)
+            return tc.reshape(n * cs, rows_e, wp, t.shape[-1])
+
+        # pass A: GAM-IN moments from strip interiors, chunk-wise — the
+        # interiors of the ga1/ga2 slabs are pointwise functions of the
+        # x1/x2 interiors, so recomputing the 1x1 convs on just those rows
+        # gives per-strip partials identical to strip_instance_norm's
+        def ga_mom(ci):
+            c0 = ci * cs
+            g2 = ga2_vals(chunk_slabs(x2r, c0)[:, E : E + r], cs
+                          ).astype(jnp.float32)
+            pm2 = jnp.mean(g2, axis=(1, 2)).reshape(n, cs, 1, c2)
+            ps2 = jnp.mean(g2 * g2, axis=(1, 2)).reshape(n, cs, 1, c2)
+            g1 = ga1_vals(chunk_slabs(x1r, c0)[:, E : E + r], cs
+                          ).astype(jnp.float32)
+            pm1 = jnp.mean(g1, axis=(1, 2)).reshape(n, cs, 4, cd)
+            ps1 = jnp.mean(g1 * g1, axis=(1, 2)).reshape(n, cs, 4, cd)
+            return pm1, ps1, pm2, ps2
+
+        parts = jax.lax.map(ga_mom, jnp.arange(nch))
+
+        def finish(pm, ps):
+            pm = jnp.moveaxis(pm, 0, 1).reshape(n, s, pm.shape[-2], pm.shape[-1])
+            ps = jnp.moveaxis(ps, 0, 1).reshape(n, s, ps.shape[-2], ps.shape[-1])
+            gmean, gsq = pm.mean(axis=(1, 2)), ps.mean(axis=(1, 2))
+            gscale = jax.lax.rsqrt(jnp.maximum(gsq - gmean * gmean, 0.0) + eps)
+            return gmean, gscale
+
+        norm1 = finish(parts[0], parts[1])
+        norm2 = finish(parts[2], parts[3])
+
+        # pass B: the exit chain, one chunk of strips at a time
+        def exit_chunk(ci):
+            c0 = ci * cs
+            m3c = jax.lax.dynamic_slice_in_dim(mats3, c0, cs, axis=0)
+            m4c = jax.lax.dynamic_slice_in_dim(mats4, c0, cs, axis=0)
+            y2wc = jnp.stack(
+                [jax.lax.dynamic_slice_in_dim(y2, starts_arr[c0 + i], win3, axis=1)
+                 for i in range(cs)], axis=1)
+            return exit_strips(chunk_slabs(x1r, c0), chunk_slabs(x2r, c0),
+                               chunk_slabs(xr, c0), m3c, y2wc, m4c, cs,
+                               norm1, norm2, True)
+
+        outs = jax.lax.map(exit_chunk, jnp.arange(nch))  # (nch, n*cs, 2r, 2wp, 3)
+        outs = outs.reshape(nch, n, cs, 2 * r, 2 * wp, outs.shape[-1])
+        return jnp.moveaxis(outs, 0, 1).reshape(n, 2 * hp, 2 * wp, outs.shape[-1])
 
     return fn
 
 
-def make_strip_fast_eval(bundle, g_params, strip_rows: int):
+def make_strip_fast_eval(bundle, g_params, strip_rows: int,
+                         chunk_strips: int = 0):
     """make_fast_eval-shaped wrapper: fn(params, extra, x)."""
     packed = pack_generator_params(jax.device_get(g_params), bundle.g_model.conv_dim)
-    fn = make_strip_eval(bundle, packed, strip_rows)
+    fn = make_strip_eval(bundle, packed, strip_rows, chunk_strips)
     return lambda params, extra, x: fn(params, x)

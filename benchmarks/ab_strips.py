@@ -1,0 +1,48 @@
+"""A/B harness for the H-strip executor (infer/strips.py) on the real chip.
+
+Usage: python benchmarks/ab_strips.py [HW] [B] [slab_unpack_min] [exit_chunks]
+
+Times make_strip_eval at HW px, batch B, optionally overriding the
+per-slab-unpack gate (_SLAB_UNPACK_MIN) and the lax.map exit-chain chunk
+size, so gate thresholds can be re-derived after layout/packing changes.
+Prints one img/s line per invocation (3 timed iters after 2 warmups).
+"""
+import os, time, sys
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
+import jax, numpy as np
+import jax.numpy as jnp
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_uegan")
+
+from uegan_tpu.config import Config
+import uegan_tpu.infer.strips as strips
+from uegan_tpu.infer.packed import make_packed_eval, pack_generator_params
+from uegan_tpu.infer.strips import make_strip_eval, pick_strip_rows
+from uegan_tpu.train.state import create_train_state
+
+HW = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
+B = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+slab_min = int(sys.argv[3]) if len(sys.argv) > 3 else None  # override gate
+chunks = int(sys.argv[4]) if len(sys.argv) > 4 else 0
+if slab_min is not None:
+    strips._SLAB_UNPACK_MIN = slab_min
+
+cfg = Config(compute_dtype="bfloat16")
+state, bundle = create_train_state(cfg, jax.random.PRNGKey(0), (HW, HW), steps_per_epoch=1)
+dev = jax.devices()[0]
+g_params = jax.device_put(state.g_params, dev)
+pk = pack_generator_params(jax.device_get(state.g_params), cfg.g_conv_dim)
+r = pick_strip_rows(HW // 2, B)
+x = jax.device_put(np.random.default_rng(0).uniform(-1, 1, (B, HW, HW, 3)).astype(np.float32), dev)
+f = jax.jit(make_strip_eval(bundle, pk, r, chunks))
+out = None
+for _ in range(2):
+    out = f(g_params, x)
+_ = np.asarray(out[0, :1, :1, 0])
+t0 = time.perf_counter()
+N = 3
+for _ in range(N):
+    out = f(g_params, x)
+_ = np.asarray(out[0, :1, :1, 0])
+dt = time.perf_counter() - t0
+print(f"{HW}px B={B} r={r} slab_min={strips._SLAB_UNPACK_MIN} chunks={chunks}: {B*N/dt:.2f} img/s")

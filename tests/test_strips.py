@@ -93,12 +93,21 @@ def test_slab_unpack_matches(rng, monkeypatch):
 
 
 def test_space_to_depth_rows_bitwise(rng):
-    from uegan_tpu.infer.packed import space_to_depth
-    from uegan_tpu.infer.strips import space_to_depth_rows
+    """The shipped transpose-free pack/unpack must be bitwise the canonical
+    phase-major 6-d reshape-transpose-reshape definition."""
+    from uegan_tpu.infer.packed import depth_to_space, space_to_depth
 
-    x = jnp.asarray(rng.uniform(-1, 1, (2, 16, 12, 3)).astype(np.float32))
-    assert np.array_equal(np.asarray(space_to_depth_rows(x)),
-                          np.asarray(space_to_depth(x)))
+    def s2d_6d(t):
+        n, h, w, c = t.shape
+        y = t.reshape(n, h // 2, 2, w // 2, 2, c)
+        return y.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 2, w // 2, 4 * c)
+
+    for shape in [(2, 16, 12, 3), (1, 8, 8, 5), (3, 32, 20, 1)]:
+        x = jnp.asarray(rng.uniform(-1, 1, shape).astype(np.float32))
+        p = np.asarray(s2d_6d(x))
+        assert np.array_equal(np.asarray(space_to_depth(x)), p)
+        assert np.array_equal(np.asarray(depth_to_space(jnp.asarray(p))),
+                              np.asarray(x))
 
 
 def test_pick_strip_chunks():

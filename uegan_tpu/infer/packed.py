@@ -44,20 +44,34 @@ Array = jnp.ndarray
 # layout transforms
 # ---------------------------------------------------------------------------
 def space_to_depth(x: Array) -> Array:
-    """(N,H,W,C) -> (N,H/2,W/2,4C), phase-major channels."""
+    """(N,H,W,C) -> (N,H/2,W/2,4C), phase-major channels.
+
+    Implemented WITHOUT the canonical 6-d reshape-transpose-reshape
+    (bitwise-identical result): that form materializes a 6-d intermediate
+    whose size-2 dims land in the tiled minor positions, which XLA
+    tile-pads 64x — at 8192px the unpack alone asked for a 25.7 GB
+    allocation at compile time, and even at 512px the transpose costs
+    measurable layout copies (515 -> 531 img/s B=128 bf16 switching both
+    pack and unpack to the rows form).  Here the W/channel pack is a free
+    contiguous reshape ((pj, c) pairs are adjacent in memory) and the H
+    pack is two strided row slices concatenated pi-major on channels, so
+    no transpose with tiny minor dims ever exists.
+    """
     n, h, w, c = x.shape
-    y = x.reshape(n, h // 2, 2, w // 2, 2, c)
-    y = y.transpose(0, 1, 3, 2, 4, 5)  # n, hp, wp, pi, pj, c
-    return y.reshape(n, h // 2, w // 2, 4 * c)
+    xw = x.reshape(n, h, w // 2, 2 * c)  # (pj, c) channel pairs, contiguous
+    return jnp.concatenate([xw[:, 0::2], xw[:, 1::2]], axis=-1)
 
 
 def depth_to_space(x: Array) -> Array:
-    """Inverse of :func:`space_to_depth`."""
+    """Inverse of :func:`space_to_depth` (same transpose-free strategy):
+    split the pi channel halves, interleave them as rows via a stacked
+    length-2 axis adjacent to Hp (free reshape), then split (pj, c) pairs
+    back into W (free reshape)."""
     n, hp, wp, c4 = x.shape
-    c = c4 // 4
-    y = x.reshape(n, hp, wp, 2, 2, c)
-    y = y.transpose(0, 1, 3, 2, 4, 5)
-    return y.reshape(n, hp * 2, wp * 2, c)
+    c2 = c4 // 2
+    e, o = x[..., :c2], x[..., c2:]
+    y = jnp.concatenate([e[:, :, None], o[:, :, None]], axis=2)
+    return y.reshape(n, 2 * hp, 2 * wp, c2 // 2)
 
 
 # ---------------------------------------------------------------------------

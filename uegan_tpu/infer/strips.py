@@ -45,6 +45,7 @@ import numpy as np
 
 from uegan_tpu.infer.packed import (
     depth_to_space,
+    space_to_depth,
     leaky,
     pack_generator_params,
     packed_conv,
@@ -101,20 +102,9 @@ def pick_strip_rows(hp: int, n: int = 4, target: int = 128) -> int:
     return r
 
 
-def space_to_depth_rows(x: Array) -> Array:
-    """space_to_depth without the 6-d transpose (bitwise-identical result).
-
-    The canonical reshape-transpose-reshape form makes XLA materialize a
-    6-d intermediate whose size-2 dims land in the tiled minor positions —
-    at 8192px that tile padding turned a 402 MB tensor into a 25.7 GB
-    allocation at compile time.  Here the W/channel pack is a free
-    contiguous reshape ((pj, c) pairs are adjacent in memory) and the H
-    pack is two strided row slices concatenated pi-major on channels, so
-    no transpose with tiny minor dims ever exists.
-    """
-    n, h, w, c = x.shape
-    xw = x.reshape(n, h, w // 2, 2 * c)  # (pj, c) channel pairs, contiguous
-    return jnp.concatenate([xw[:, 0::2], xw[:, 1::2]], axis=-1)
+# The transpose-free rows-form pack proved out here first (it unblocked the
+# 8192px compile) and is now the canonical packed.space_to_depth everywhere.
+space_to_depth_rows = space_to_depth
 
 
 def _pad_rows_top_bot(x: Array, pad: int):

@@ -70,3 +70,49 @@ def test_input_fetcher_wraps_infinitely(fivek_dir):
     fetcher = InputFetcher(loader)
     seen = [next(fetcher) for _ in range(5)]  # > 2 batches/epoch → wraps
     assert all(s["img_raw"].shape == (2, 32, 32, 3) for s in seen)
+
+
+def test_process_sharded_train_loader(fivek_dir):
+    """Multi-host sharding: same global order on every process, disjoint
+    equal-size per-process slices, identical union to the 1-process epoch."""
+    mk = lambda pid, pc: get_train_loader(
+        fivek_dir / "train", img_size=64, resize_size=32, batch_size=2,
+        seed=7, num_workers=1, process_id=pid, process_count=pc,
+    )
+    single = mk(0, 1)
+    assert len(single) == 2  # 5 // 2
+    names_single = [b["img_name"] for b in single]
+
+    l0, l1 = mk(0, 2), mk(1, 2)
+    assert len(l0) == len(l1) == 1  # 5 // (2*2) global batches
+    b0, b1 = next(iter(l0)), next(iter(l1))
+    assert b0["img_exp"].shape == b1["img_exp"].shape == (2, 32, 32, 3)
+    # shards are disjoint and tile the global batch in process order
+    assert b0["img_name"] + b1["img_name"] == names_single[0] + names_single[1]
+    # per-item determinism: the same sample gets the same augmentation
+    # regardless of which process loads it
+    sb = list(iter(mk(0, 1)))
+    np.testing.assert_array_equal(
+        np.concatenate([b0["img_raw"], b1["img_raw"]]),
+        np.concatenate([sb[0]["img_raw"], sb[1]["img_raw"]]),
+    )
+
+
+def test_process_sharded_eval_loader_pads_tail(fivek_dir):
+    """Multi-process eval pads the tail global batch by wrapping so every
+    process yields full-shaped shards; single-process keeps the ragged tail."""
+    mk = lambda pid, pc: get_test_loader(
+        fivek_dir / "val", img_size=32, batch_size=2, num_workers=1,
+        process_id=pid, process_count=pc,
+    )
+    single = mk(0, 1)
+    sizes = [b["img_exp"].shape[0] for b in single]
+    assert sizes == [2, 1]  # 3 images, ragged tail preserved at pc=1
+
+    l0, l1 = mk(0, 2), mk(1, 2)
+    assert len(l0) == len(l1) == 1  # ceil(3 / 4)
+    b0, b1 = next(iter(l0)), next(iter(l1))
+    assert b0["img_exp"].shape[0] == b1["img_exp"].shape[0] == 2
+    names = b0["img_name"] + b1["img_name"]
+    assert names[:3] == sorted(set(names[:3]))  # the 3 real images, in order
+    assert names[3] == names[0]  # wrap-padded duplicate

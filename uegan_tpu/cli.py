@@ -23,9 +23,15 @@ def main(args: Config) -> None:
         jax.config.update("jax_platforms", platform)
 
     from uegan_tpu.data.pipeline import get_test_loader, get_train_loader
+    from uegan_tpu.parallel.distributed import initialize_distributed
     from uegan_tpu.utils.folders import create_folder
     from uegan_tpu.utils.seed import setup_seed
 
+    # multi-host bootstrap (no-op single-process); must run before any
+    # backend query so every process sees the full pod's devices.  After
+    # this, the loaders shard each global batch across processes
+    # automatically (data/pipeline.py resolves jax.process_index lazily).
+    initialize_distributed()
     setup_seed(args.seed)
     # reference layout: results/<version>/<sub> (trainer.py:29-32, main.py:21-25)
     for sub in (args.model_save_path, args.sample_path, args.log_path,

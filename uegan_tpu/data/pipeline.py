@@ -87,6 +87,8 @@ class _Loader:
         num_threads: int = 4,
         prefetch: int = 2,
         cache_decoded: bool = False,
+        process_id: Optional[int] = None,
+        process_count: Optional[int] = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -103,12 +105,35 @@ class _Loader:
         # hosts; FiveK-sized sets need tens of GB — caller's choice)
         self.cache_decoded = cache_decoded
         self._cache: Dict[int, tuple] = {}
+        # multi-host data sharding: every process computes the SAME global
+        # epoch order (seeded shuffle) and loads only its own contiguous
+        # slice of each global batch — ``batch_size`` is the PER-PROCESS
+        # batch, so the global batch is batch_size * process_count.  None
+        # resolves lazily from jax (after any jax.distributed bootstrap).
+        self._process = (process_id, process_count)
+
+    def _process_info(self) -> tuple:
+        pid, pc = self._process
+        if pc is None:
+            if pid is None:
+                try:
+                    import jax
+
+                    pid, pc = jax.process_index(), jax.process_count()
+                except Exception:
+                    pid, pc = 0, 1
+            else:
+                pc = 1
+        self._process = (pid or 0, pc)
+        return self._process
 
     def __len__(self) -> int:
+        _, pc = self._process_info()
         n = len(self.dataset)
+        gb = self.batch_size * pc
         if self.drop_last:
-            return n // self.batch_size
-        return (n + self.batch_size - 1) // self.batch_size
+            return n // gb
+        return (n + gb - 1) // gb
 
     def _epoch_order(self, epoch: int) -> np.ndarray:
         idx = np.arange(len(self.dataset))
@@ -138,11 +163,20 @@ class _Loader:
     def __iter__(self) -> Iterator[Dict]:
         epoch = self.epoch
         self.epoch += 1
+        pid, pc = self._process_info()
         order = self._epoch_order(epoch)
         nb = len(self)
-        batches = [order[i * self.batch_size : (i + 1) * self.batch_size] for i in range(nb)]
-        if not self.drop_last and nb * self.batch_size < len(order):
-            pass  # len() already accounted for the tail batch
+        gb = self.batch_size * pc
+        if pc > 1 and not self.drop_last and nb * gb > len(order):
+            # multi-process eval: pad the tail global batch by wrapping so
+            # every process contributes an equal, full-shaped shard (the
+            # standard distributed-sampler convention; duplicates only ever
+            # appear in the final batch of an epoch)
+            order = np.concatenate([order, order[: nb * gb - len(order)]])
+        batches = [
+            order[i * gb + pid * self.batch_size : i * gb + (pid + 1) * self.batch_size]
+            for i in range(nb)
+        ]
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
@@ -186,6 +220,8 @@ def get_train_loader(
     drop_last: bool = True,
     seed: int = 1990,
     cache_decoded: bool = False,
+    process_id: Optional[int] = None,
+    process_count: Optional[int] = None,
 ) -> _Loader:
     return _Loader(
         PairedImageDataset(root),
@@ -198,6 +234,8 @@ def get_train_loader(
         seed=seed,
         num_threads=num_workers,
         cache_decoded=cache_decoded,
+        process_id=process_id,
+        process_count=process_count,
     )
 
 
@@ -208,6 +246,8 @@ def get_test_loader(
     shuffle: bool = False,
     num_workers: int = 4,
     seed: int = 1990,
+    process_id: Optional[int] = None,
+    process_count: Optional[int] = None,
 ) -> _Loader:
     return _Loader(
         PairedImageDataset(root),
@@ -218,6 +258,8 @@ def get_test_loader(
         drop_last=False,
         seed=seed,
         num_threads=num_workers,
+        process_id=process_id,
+        process_count=process_count,
     )
 
 
@@ -236,7 +278,11 @@ class InputFetcher:
 
     The reference fetcher moved tensors host->device per batch
     (reference: data_loader.py:111-129); here ``jax.device_put`` with a
-    NamedSharding places each global batch directly onto the mesh.
+    NamedSharding places each global batch directly onto the mesh.  Under
+    multi-host (jax.process_count() > 1) the loader yields this process's
+    shard and ``jax.make_array_from_process_local_data`` assembles the
+    global sharded array — each host only ever decodes its own 1/N of the
+    global batch.
     """
 
     def __init__(self, loader: _Loader, sharding=None):
@@ -254,6 +300,14 @@ class InputFetcher:
             batch = next(self._it)
         out = Batch(batch)
         if self.sharding is not None:
-            out["img_exp"] = jax.device_put(batch["img_exp"], self.sharding)
-            out["img_raw"] = jax.device_put(batch["img_raw"], self.sharding)
+            if jax.process_count() > 1:
+                out["img_exp"] = jax.make_array_from_process_local_data(
+                    self.sharding, batch["img_exp"]
+                )
+                out["img_raw"] = jax.make_array_from_process_local_data(
+                    self.sharding, batch["img_raw"]
+                )
+            else:
+                out["img_exp"] = jax.device_put(batch["img_exp"], self.sharding)
+                out["img_raw"] = jax.device_put(batch["img_raw"], self.sharding)
         return out

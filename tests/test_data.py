@@ -116,3 +116,46 @@ def test_process_sharded_eval_loader_pads_tail(fivek_dir):
     names = b0["img_name"] + b1["img_name"]
     assert names[:3] == sorted(set(names[:3]))  # the 3 real images, in order
     assert names[3] == names[0]  # wrap-padded duplicate
+
+
+def test_uint8_emit_device_normalize_matches_host(fivek_dir):
+    """emit='uint8' + on-device normalize matches the host float32 pipeline
+    to 1 ulp (XLA lowers the /255 to multiply-by-reciprocal; every other op
+    is exact)."""
+    import jax
+
+    from uegan_tpu.data.pipeline import device_normalize
+
+    mk = lambda emit: get_train_loader(
+        fivek_dir / "train", img_size=64, resize_size=32, batch_size=2,
+        seed=7, num_workers=1, emit=emit,
+    )
+    bf = next(iter(mk("float32")))
+    bu = next(iter(mk("uint8")))
+    assert bu["img_raw"].dtype == np.uint8
+    norm = jax.jit(device_normalize)
+    for k in ("img_raw", "img_exp"):
+        got = np.asarray(norm(bu[k]))
+        assert got.dtype == np.float32
+        np.testing.assert_allclose(got, bf[k], atol=1.2e-7, rtol=0)
+
+
+def test_input_fetcher_normalizes_uint8_on_device(fivek_dir):
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from uegan_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(n_data=1, n_spatial=1)
+    sharding = NamedSharding(mesh, PartitionSpec("data"))
+    uf = InputFetcher(get_train_loader(
+        fivek_dir / "train", img_size=64, resize_size=32, batch_size=2,
+        seed=7, num_workers=1, emit="uint8"), sharding)
+    ff = InputFetcher(get_train_loader(
+        fivek_dir / "train", img_size=64, resize_size=32, batch_size=2,
+        seed=7, num_workers=1), sharding)
+    bu, bf = next(uf), next(ff)
+    assert bu["img_raw"].dtype == np.float32  # normalized on device
+    np.testing.assert_allclose(
+        np.asarray(bu["img_raw"]), np.asarray(bf["img_raw"]), atol=1.2e-7, rtol=0
+    )

@@ -63,3 +63,30 @@ def test_tester_loads_pth_and_enhances(tmp_path):
     assert psnr_csv.exists()
     lines = psnr_csv.read_text().strip().splitlines()
     assert lines[-1].startswith("Average,")
+
+
+def test_enhance_u8_matches_float_path(tmp_path):
+    """Tester.enhance_u8: float input -> byte-identical to the float path +
+    host quantize; uint8 input -> within 1 gray level (the device normalize
+    is 1-ulp from the host's, see data/pipeline.py:device_normalize)."""
+    from uegan_tpu.train.tester import Tester, _denorm_np, _host_norm_u8
+    from uegan_tpu.utils.image_io import to_uint8
+
+    cfg = Config(
+        g_conv_dim=8, d_conv_dim=8, test_img_size=32, val_batch_size=2,
+        save_root_dir=str(tmp_path / "results"), compute_dtype="float32",
+        num_workers=1, use_tensorboard=False,
+    )
+    tester = Tester({}, cfg)
+    rng = np.random.default_rng(3)
+
+    x = rng.uniform(-1.0, 1.0, (2, 32, 32, 3)).astype(np.float32)
+    got = tester.enhance_u8(x)
+    want = to_uint8(_denorm_np(tester.enhance(x)))
+    assert got.dtype == np.uint8
+    np.testing.assert_array_equal(got, want)
+
+    xu = rng.integers(0, 256, (2, 32, 32, 3), dtype=np.uint8)
+    got_u = tester.enhance_u8(xu)
+    want_u = to_uint8(_denorm_np(tester.enhance(_host_norm_u8(xu))))
+    assert np.abs(got_u.astype(np.int16) - want_u.astype(np.int16)).max() <= 1

@@ -70,3 +70,30 @@ def test_distributed_noop_single_process():
     from uegan_tpu.parallel.distributed import initialize_distributed
 
     initialize_distributed()  # returns silently without coordinator
+
+
+def test_device_quantize_u8_bitwise_vs_host():
+    """train/tester.py:_quantize_u8 == to_uint8(_denorm_np(.)) bit-for-bit:
+    every op in the chain is IEEE-exact ((x+1)/2 divides by a power of two;
+    *255 and rint round identically), so uint8 frames fetched from the
+    device are byte-identical to the host denorm/round path."""
+    import jax
+    import numpy as np
+
+    from uegan_tpu.train.tester import _denorm_np, _quantize_u8
+    from uegan_tpu.utils.image_io import to_uint8
+
+    rng = np.random.default_rng(0)
+    # include exact half-integer-producing values and the clamp edges
+    x = rng.uniform(-1.2, 1.2, (3, 17, 19, 3)).astype(np.float32)
+    x[0, 0, 0] = [-1.0, 1.0, 0.0]
+    host = to_uint8(_denorm_np(x))
+    dev = np.asarray(jax.jit(_quantize_u8)(x))
+    np.testing.assert_array_equal(dev, host)
+    # bf16 network outputs take the same path
+    import jax.numpy as jnp
+
+    xb = jnp.asarray(x, jnp.bfloat16)
+    host_b = to_uint8(_denorm_np(np.asarray(xb).astype(np.float32)))
+    dev_b = np.asarray(jax.jit(_quantize_u8)(xb))
+    np.testing.assert_array_equal(dev_b, host_b)

@@ -52,6 +52,7 @@ def main(args: Config) -> None:
                 drop_last=args.drop_last,
                 seed=args.seed,
                 cache_decoded=args.cache_data,
+                emit="uint8" if args.device_image_io else "float32",
             ),
             "val": get_test_loader(
                 args.val_img_dir,
@@ -74,6 +75,7 @@ def main(args: Config) -> None:
                 shuffle=False,
                 num_workers=args.num_workers,
                 seed=args.seed,
+                emit="uint8" if args.device_image_io else "float32",
             )
         }
         Tester(loaders, args).test()

@@ -128,6 +128,11 @@ class Config:
     tile_overlap: int = 32
     remat: bool = False  # rematerialize conv blocks (512px training memory)
     cache_data: bool = False  # RAM-cache decoded images (small datasets)
+    device_image_io: bool = True  # ship uint8 pixels across PCIe/host links
+    # and do the [-1,1] normalize / uint8 quantize ON DEVICE (bit-identical
+    # f32 op sequences — see data/pipeline.py:device_normalize and
+    # train/tester.py:_quantize_u8).  4x less host->device and 2-4x less
+    # device->host traffic than float batches; False restores float I/O.
     packed_inference: bool = True  # space-to-depth packed G inference
     # (1.57x measured; bit-equivalent to 1e-5; default-G-config only —
     # silently falls back to the canonical forward otherwise)

@@ -16,8 +16,14 @@ from PIL import Image
 
 
 def to_uint8(img01: np.ndarray) -> np.ndarray:
-    """[0,1] float -> uint8 with torchvision save_image rounding."""
-    arr = np.asarray(img01, dtype=np.float32)
+    """[0,1] float -> uint8 with torchvision save_image rounding.
+
+    uint8 inputs pass through unchanged (the device-quantized fast path
+    delivers PNG-ready bytes; see train/tester.py:_quantize_u8)."""
+    img01 = np.asarray(img01)
+    if img01.dtype == np.uint8:
+        return img01
+    arr = img01.astype(np.float32)
     return np.clip(np.rint(arr * 255.0), 0, 255).astype(np.uint8)
 
 

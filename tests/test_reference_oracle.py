@@ -178,3 +178,87 @@ def test_nima_forward_matches_reference(tmp_path):
 
     assert probs.shape == pt.shape == (2, 10)
     np.testing.assert_allclose(probs, pt, atol=2e-5, rtol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# Loss library (the trainer's live call patterns)
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def ref_losses():
+    # the reference losses.py imports torchvision (absent here) only for the
+    # pretrained VGG19; stub it — the loss classes under test never touch it
+    import sys
+    import types
+
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tv.models = types.ModuleType("torchvision.models")
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.models"] = tv.models
+    return _load_ref_module("uegan_reference_losses", "losses.py")
+
+
+@pytest.mark.parametrize("mode", ["rahinge", "rals"])
+@pytest.mark.parametrize("for_d", [True, False], ids=["D", "G"])
+def test_gan_loss_matches_reference(ref_losses, mode, for_d):
+    """multiscale_gan_loss == the reference GANLoss over 5-scale pred lists,
+    called exactly as the trainer does (losses.py:393-409, trainer.py:92,104;
+    only the relativistic modes are reachable there — the classic modes crash
+    in the reference and are a documented deviation here)."""
+    from uegan_tpu.losses.gan import multiscale_gan_loss
+
+    crit = ref_losses.GANLoss(mode, tensor=torch.FloatTensor)
+    rng = np.random.default_rng(31)
+    shapes = [(2, 1, s, s) for s in (32, 16, 8, 4, 2)]
+    reals = [rng.standard_normal(s).astype(np.float32) for s in shapes]
+    fakes = [rng.standard_normal(s).astype(np.float32) for s in shapes]
+    with torch.no_grad():
+        want = crit(
+            [torch.from_numpy(r) for r in reals],
+            [torch.from_numpy(f) for f in fakes],
+            None, None, for_discriminator=for_d,
+        ).numpy()
+    got = np.asarray(multiscale_gan_loss(
+        [np.transpose(r, (0, 2, 3, 1)) for r in reals],
+        [np.transpose(f, (0, 2, 3, 1)) for f in fakes],
+        mode, for_discriminator=for_d,
+    ))
+    np.testing.assert_allclose(got, float(np.sum(want)), atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("kind", ["l1", "l2", "smoothl1"])
+def test_multiscale_rec_loss_matches_reference(ref_losses, kind):
+    """multiscale_rec_loss == the reference MultiscaleRecLoss (3 avg-pool
+    scales, weights [1, 1/2, 1/4], count_include_pad=False pooling)."""
+    from uegan_tpu.losses.reconstruction import multiscale_rec_loss
+
+    crit = ref_losses.MultiscaleRecLoss(scale=3, rec_loss_type=kind)
+    rng = np.random.default_rng(37)
+    a = rng.standard_normal((2, 3, 33, 34)).astype(np.float32)  # odd dims hit
+    b = rng.standard_normal((2, 3, 33, 34)).astype(np.float32)  # the pad path
+    with torch.no_grad():
+        want = crit(torch.from_numpy(a), torch.from_numpy(b)).item()
+    got = float(multiscale_rec_loss(
+        np.transpose(a, (0, 2, 3, 1)), np.transpose(b, (0, 2, 3, 1)), kind
+    ))
+    np.testing.assert_allclose(got, want, atol=1e-6, rtol=1e-5)
+
+
+def test_tv_and_angular_match_reference(ref_losses):
+    """The reference's unused TVLoss/AngularLoss (losses.py:167-199) are also
+    capability surface — oracle-check our ports."""
+    from uegan_tpu.losses.extra import angular_loss, tv_loss
+
+    rng = np.random.default_rng(41)
+    x = rng.standard_normal((2, 3, 16, 18)).astype(np.float32)
+    with torch.no_grad():
+        want_tv = ref_losses.TVLoss(tv_loss_weight=1.0)(torch.from_numpy(x)).item()
+    got_tv = float(tv_loss(np.transpose(x, (0, 2, 3, 1)), weight=1.0))
+    np.testing.assert_allclose(got_tv, want_tv, atol=1e-6, rtol=1e-5)
+
+    f1 = rng.standard_normal((4, 3)).astype(np.float32)
+    f2 = rng.standard_normal((4, 3)).astype(np.float32)
+    with torch.no_grad():
+        want_ang = ref_losses.AngularLoss()(torch.from_numpy(f1), torch.from_numpy(f2)).item()
+    got_ang = float(angular_loss(f1, f2))
+    np.testing.assert_allclose(got_ang, want_ang, atol=1e-5, rtol=1e-5)

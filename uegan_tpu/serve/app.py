@@ -201,8 +201,18 @@ class _Models:
                             "a .pth file nor an orbax checkpoint directory"
                         )
                 # packed fast path (2.8x canonical; int8 when configured) —
-                # kernels transformed from the loaded weights
-                fn = jax.jit(make_fast_eval(bundle, state.g_params))
+                # kernels transformed from the loaded weights.  uint8 I/O:
+                # the [-1,1] normalize and the PNG quantize both run inside
+                # the jit, so the host only moves 1-byte pixels each way
+                # (3.6x e2e measured on a transfer-bound link; see
+                # OPTIMIZATION_NOTES.md "uint8 device I/O")
+                from uegan_tpu.data.pipeline import device_normalize
+                from uegan_tpu.train.tester import _quantize_u8
+
+                base = make_fast_eval(bundle, state.g_params)
+                fn = jax.jit(
+                    lambda p, e, x: _quantize_u8(base(p, e, device_normalize(x)))
+                )
                 st = state
                 self._enhancer = (fn, st)
                 self._enhance_batcher = _MicroBatcher(
@@ -210,12 +220,10 @@ class _Models:
                     self.batch_window_ms, self.max_batch,
                 )
         s = self.test_img_size
-        arr = np.asarray(image.convert("RGB").resize((s, s), Image.BILINEAR), np.float32)
-        x = (arr / 255.0 - 0.5) / 0.5
-        out = self._enhance_batcher.submit(x)
-        out01 = np.clip((out.astype(np.float32) + 1.0) / 2.0, 0, 1)
+        arr = np.asarray(image.convert("RGB").resize((s, s), Image.BILINEAR))  # uint8
+        out_u8 = self._enhance_batcher.submit(arr)
         buf = io.BytesIO()
-        Image.fromarray(np.clip(np.rint(out01 * 255), 0, 255).astype(np.uint8)).save(buf, "PNG")
+        Image.fromarray(out_u8).save(buf, "PNG")
         return buf.getvalue()
 
 

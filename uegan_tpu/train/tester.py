@@ -32,6 +32,7 @@ from uegan_tpu.parallel.sharding import batch_sharding, replicated
 from uegan_tpu.train.state import create_train_state, count_params
 from uegan_tpu.train.step import make_eval_step
 from uegan_tpu.utils.checkpoint import CheckpointManager
+from uegan_tpu.utils.image_io import device_quantize_u8 as _quantize_u8
 from uegan_tpu.utils.image_io import save_image, save_image_grid
 from uegan_tpu.utils.logging import Logger, ProgressMeter
 from uegan_tpu.utils.seed import setup_seed
@@ -41,13 +42,6 @@ def _denorm_np(x) -> np.ndarray:
     return np.clip((np.asarray(x, dtype=np.float32) + 1.0) / 2.0, 0.0, 1.0)
 
 
-def _quantize_u8(y):
-    """[-1,1] device batch -> uint8 ON DEVICE, bitwise identical to the host
-    chain ``to_uint8(_denorm_np(y))`` (same f32 op sequence).  Fetching uint8
-    instead of bf16/f32 cuts device->host traffic 2-4x and moves the
-    per-pixel denorm/round work off the (single-core) host."""
-    a = jnp.clip((y.astype(jnp.float32) + 1.0) / 2.0, 0.0, 1.0)
-    return jnp.clip(jnp.rint(a * 255.0), 0.0, 255.0).astype(jnp.uint8)
 
 
 def _host_norm_u8(u8: np.ndarray) -> np.ndarray:

@@ -89,7 +89,20 @@ class Trainer:
         self.state = jax.device_put(self.state, rep)
         self.batch_shard = batch_sharding(self.mesh)
         self._step_fn = jax.jit(make_train_step(self.bundle), donate_argnums=(0,))
-        self._eval_fn = jax.jit(make_eval_step(self.bundle))
+        _eval_base = make_eval_step(self.bundle)
+        self._eval_fn = jax.jit(_eval_base)
+
+        # validation variant: PNG-ready uint8 comes off the device (2-4x
+        # less device->host traffic, bit-identical quantization — see
+        # utils/image_io.py:device_quantize_u8) while the float output stays
+        # resident for the on-device metrics
+        def _eval_u8(p, e, x):
+            y = _eval_base(p, e, x)
+            from uegan_tpu.utils.image_io import device_quantize_u8
+
+            return device_quantize_u8(y), y
+
+        self._eval_u8_fn = jax.jit(_eval_u8)
         self._g_lr = make_lr_schedule(
             args.g_lr, self.train_steps_per_epoch, args.lr_decay,
             args.lr_num_epochs_decay, args.lr_decay_ratio,
@@ -226,30 +239,37 @@ class Trainer:
 
         print("==================== Start validation ====================")
         od_psnr, od_ssim = [], []
+        from uegan_tpu.utils.image_io import to_uint8
+
         for batch in self.loaders["val"]:
             raw = jnp.asarray(batch["img_raw"])
-            out = self._eval_fn(self.state.g_params, self.state.g_extra, raw)
-            out01 = _denorm_np(out)
-            raw01 = _denorm_np(raw)
+            # uint8 frames come off the device; the float output never
+            # leaves it (the on-device metrics consume it in place)
+            out_u8_dev, out = self._eval_u8_fn(self.state.g_params, self.state.g_extra, raw)
+            out_u8 = np.asarray(out_u8_dev)
+            raw_u8 = to_uint8(_denorm_np(batch["img_raw"]))  # host array, no fetch
             if args.on_device_metrics and "img_exp" in batch:
                 # fast path: batched PSNR/SSIM vs the paired label (domain 1)
                 # straight from tensors — no PNG round-trip (the disk
-                # protocol below stays authoritative for reference parity)
+                # protocol below stays authoritative for reference parity).
+                # Inputs match the old host denorm bitwise ((x+1)/2 and clip
+                # are IEEE-exact).
                 from uegan_tpu.metrics.psnr import psnr_batch
                 from uegan_tpu.metrics.ssim import ssim_batch
 
-                label01 = _denorm_np(batch["img_exp"])
+                out255 = jnp.clip((out.astype(jnp.float32) + 1.0) / 2.0, 0.0, 1.0) * 255.0
+                label255 = jnp.asarray(
+                    _denorm_np(batch["img_exp"]) * 255.0
+                )
                 od_psnr.extend(np.asarray(
-                    psnr_batch(jnp.asarray(out01) * 255.0, jnp.asarray(label01) * 255.0,
-                               crop_border=4)).tolist())
+                    psnr_batch(out255, label255, crop_border=4)).tolist())
                 od_ssim.extend(np.asarray(
-                    ssim_batch(jnp.asarray(out01) * 255.0, jnp.asarray(label01) * 255.0,
-                               crop_border=4)).tolist())
-            for i in range(out01.shape[0]):
+                    ssim_batch(out255, label255, crop_border=4)).tolist())
+            for i in range(out_u8.shape[0]):
                 name = batch["img_name"][i]
-                save_image(out01[i], os.path.join(val_save_path, f"{name}_{current_epoch:0>3.2f}_valFakeExp.png"))
+                save_image(out_u8[i], os.path.join(val_save_path, f"{name}_{current_epoch:0>3.2f}_valFakeExp.png"))
                 save_image_grid(
-                    [raw01[i], out01[i]],
+                    [raw_u8[i], out_u8[i]],
                     os.path.join(val_compare_save_path, f"{name}_{current_epoch:0>3.2f}_valRealRaw_valFakeExp.png"),
                 )
         if od_psnr:

@@ -27,6 +27,19 @@ def to_uint8(img01: np.ndarray) -> np.ndarray:
     return np.clip(np.rint(arr * 255.0), 0, 255).astype(np.uint8)
 
 
+def device_quantize_u8(y):
+    """[-1,1] device batch -> PNG-ready uint8 ON DEVICE, bit-identical to
+    the host chain ``to_uint8`` of the [-1,1]->[0,1] denorm (every op in the
+    sequence is IEEE-exact: /2 is a power-of-two divide, *255 and rint round
+    identically — test-enforced in tests/test_utils_misc.py).  Fetching
+    uint8 instead of bf16/f32 cuts device->host traffic 2-4x and moves the
+    per-pixel denorm/round work off the (single-core) host."""
+    import jax.numpy as jnp
+
+    a = jnp.clip((y.astype(jnp.float32) + 1.0) / 2.0, 0.0, 1.0)
+    return jnp.clip(jnp.rint(a * 255.0), 0.0, 255.0).astype(jnp.uint8)
+
+
 def save_image(img01: np.ndarray, path: str) -> None:
     """Save a single HWC [0,1] image as PNG."""
     Image.fromarray(to_uint8(img01)).save(path, format="PNG")

@@ -296,3 +296,60 @@ def test_packed_generator_fallback_pad_path(rng, monkeypatch):
     got = jax.jit(lambda p, xx: packed_fn(p, xx))(state.g_params, x)
     want = jax.jit(canon)(state.g_params, state.g_extra, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_composed_dec5_head_matches_sequential(rng):
+    """packed_dec5_head (composed 9x9 interior + sequential border strips)
+    == the sequential dec5_0/dec5_1 chain, at UNIT-scale kernels (the
+    composition reorders f32 summation, so tolerance not bitwise)."""
+    from uegan_tpu.infer.packed import (
+        _tap_ranges,
+        compose_dec5_kernels,
+        packed_dec5_head,
+    )
+
+    cd = 8
+    k0 = rng.standard_normal((3, 3, cd, cd)).astype(np.float32) * 0.5
+    b0 = rng.standard_normal((cd,)).astype(np.float32)
+    k1 = rng.standard_normal((7, 7, cd, 3)).astype(np.float32) * 0.5
+    b1 = rng.standard_normal((3,)).astype(np.float32)
+    pk0, s0_0 = pack_kernel_s1(k0, 1)
+    pk1, s0_1 = pack_kernel_s1(k1, 3)
+    k9, b9 = compose_dec5_kernels(k0, b0, k1, b1)
+    pk9, s0_9 = pack_kernel_s1(k9, 4)
+
+    for hw in (32, 24):  # packed 16/12 rows: strip path; both > slab+fix
+        z = jnp.asarray(rng.standard_normal((2, hw // 2, hw // 2, 4 * cd)).astype(np.float32))
+        h = packed_conv(z, jnp.asarray(pk0), s0_0, cd, jnp.asarray(b0), jnp.float32)
+        want = packed_conv(h, jnp.asarray(pk1), s0_1, cd, jnp.asarray(b1), jnp.float32)
+        got = packed_dec5_head(
+            z, jnp.asarray(pk9), s0_9, jnp.asarray(b9),
+            jnp.asarray(pk0), s0_0, jnp.asarray(b0),
+            jnp.asarray(pk1), s0_1, jnp.asarray(b1), cd, jnp.float32,
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
+
+
+def test_composed_dec5_kernel_algebra(rng):
+    """compose_dec5_kernels: conv9(x) == conv7(conv3(x)) on zero-padded
+    inputs (pure kernel algebra, no reflect semantics)."""
+    from uegan_tpu.infer.packed import compose_dec5_kernels
+
+    cd = 4
+    k0 = rng.standard_normal((3, 3, cd, cd)).astype(np.float32)
+    b0 = rng.standard_normal((cd,)).astype(np.float32)
+    k1 = rng.standard_normal((7, 7, cd, 3)).astype(np.float32)
+    b1 = rng.standard_normal((3,)).astype(np.float32)
+    k9, b9 = compose_dec5_kernels(k0, b0, k1, b1)
+    assert k9.shape == (9, 9, cd, 3)
+
+    x = jnp.asarray(rng.standard_normal((1, 20, 20, cd)).astype(np.float32))
+    h = _conv(jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0))), jnp.asarray(k0)) + b0
+    want = _conv(jnp.pad(h, ((0, 0), (3, 3), (3, 3), (0, 0))), jnp.asarray(k1)) + b1
+    got = _conv(jnp.pad(x, ((0, 0), (4, 4), (4, 4), (0, 0))), jnp.asarray(k9)) + b9
+    # borders of the zero-padded composed conv DIFFER (h's zero pad is not
+    # conv3(zero pad)); the interior must agree
+    np.testing.assert_allclose(
+        np.asarray(got)[:, 4:-4, 4:-4], np.asarray(want)[:, 4:-4, 4:-4],
+        rtol=2e-4, atol=2e-4,
+    )

@@ -136,6 +136,27 @@ class Trainer:
         else:
             start_step = 0
 
+        # Preemption safety (the reference had none — SURVEY.md §5): SIGTERM/
+        # SIGINT request a checkpoint at the next step boundary instead of
+        # losing the partial epoch.  The fractional-epoch tag resumes exactly
+        # (start_step = epoch * steps_per_epoch), including via auto-resume
+        # (--pretrained_model -1).  Handlers only install in the main thread
+        # (signal.signal raises elsewhere) and are restored afterwards.
+        import signal
+
+        self._stop_requested = False
+        old_handlers = {}
+
+        def _on_signal(signum, frame):
+            self._stop_requested = True
+            print(f"=== received signal {signum}: checkpointing at the next step boundary ===")
+
+        try:
+            for sig in (signal.SIGTERM, signal.SIGINT):
+                old_handlers[sig] = signal.signal(sig, _on_signal)
+        except ValueError:
+            old_handlers = {}
+
         print("======================= start training =======================")
         try:  # tqdm progress (reference: trainer.py:74,140-141)
             from tqdm import tqdm
@@ -144,6 +165,12 @@ class Trainer:
         except ImportError:
             pbar = None
         for step in range(start_step, total_steps):
+            if self._stop_requested:
+                current_epoch = step / self.train_steps_per_epoch
+                path = self.ckpt.save(jax.device_get(self.state), current_epoch)
+                print(f"=== preemption checkpoint saved: {path} "
+                      f"(resume with --pretrained_model -1) ===")
+                break
             if step % self.train_steps_per_epoch == 0:
                 epoch = step // self.train_steps_per_epoch
                 g_lr = float(self._g_lr(step))
@@ -168,6 +195,8 @@ class Trainer:
 
         if pbar is not None:
             pbar.close()
+        for sig, h in old_handlers.items():
+            signal.signal(sig, h)
         self.val_best_results()
         timing = self.timer.summary()
         if timing:

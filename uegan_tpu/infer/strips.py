@@ -124,6 +124,49 @@ def _packed_pad_rows_top_bot(x: Array, pad: int, c):
     return top, bot
 
 
+def _refix_outer_slab_halos(t: Array, n: int, s: int, edge: int, c=None) -> Array:
+    """Re-reflect the FIRST/LAST strips' outer halo rows from their real rows.
+
+    Mirror-extension of the input does NOT commute with convolution
+    (conv-of-mirrored-signal at row -j != mirror of conv at row j unless the
+    kernel is H-symmetric), so after every conv the outer halo rows of the
+    image-border slabs hold "extended-domain" values, while the canonical
+    model reflect-pads EACH layer's own input.  Overwriting those halo rows
+    with the torch reflect of the slab's real rows after each stage restores
+    the per-layer-reflect invariant exactly.  (Interior slab edges are
+    unaffected — their halos are real rows.)  ``c`` gives the packed phase
+    group size(s) for packed tensors; None = unpacked rows.
+    """
+    hs = t.shape[1]
+    tr = t.reshape(n, s, *t.shape[1:])
+    if c is None:
+        top, _ = _pad_rows_top_bot(tr[:, 0, edge:], edge)
+        _, bot = _pad_rows_top_bot(tr[:, -1, : hs - edge], edge)
+    else:
+        top, _ = _packed_pad_rows_top_bot(tr[:, 0, edge:], edge, c)
+        _, bot = _packed_pad_rows_top_bot(tr[:, -1, : hs - edge], edge, c)
+    tr = tr.at[:, 0, :edge].set(top)
+    tr = tr.at[:, -1, hs - edge :].set(bot)
+    return tr.reshape(t.shape)
+
+
+def _refix_exit_halos(t: Array, n: int, sc: int, strip_ids: Array, s_total: int,
+                      m: int, c) -> Array:
+    """:func:`_refix_outer_slab_halos` for exit-chain slabs whose global strip
+    index is traced (the chunked path): reflect rows are built for every slab
+    (m rows each — cheap) and selected only where the slab is the image's
+    first/last strip."""
+    hs = t.shape[1]
+    top, _ = _packed_pad_rows_top_bot(t[:, m:], m, c)
+    _, bot = _packed_pad_rows_top_bot(t[:, : hs - m], m, c)
+    ids = jnp.tile(strip_ids, n)  # N-major slab order
+    maskf = (ids == 0)[:, None, None, None]
+    maskl = (ids == s_total - 1)[:, None, None, None]
+    t = t.at[:, :m].set(jnp.where(maskf, top, t[:, :m]))
+    t = t.at[:, hs - m :].set(jnp.where(maskl, bot, t[:, hs - m :]))
+    return t
+
+
 def _slabs(x: Array, s: int, r: int, m: int, packed_c=None) -> Array:
     """Overlapping strip slabs with reflect-extended edges.
 

@@ -20,6 +20,13 @@ import jax  # noqa: E402
 # The image's axon plugin force-registers the TPU platform regardless of
 # JAX_PLATFORMS; override via the config API before any backend init.
 jax.config.update("jax_platforms", "cpu")
+# This jax build also ignores the JAX_COMPILATION_CACHE_DIR env var (verified
+# r2: config stays None, "cache is disabled/not initialized") — only the
+# config API enables the persistent cache that makes repeat runs skip the
+# minutes-long train-step XLA compiles.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -21,6 +21,17 @@ def main(args: Config) -> None:
         import jax
 
         jax.config.update("jax_platforms", platform)
+    # persistent compilation cache: this jax build ignores the
+    # JAX_COMPILATION_CACHE_DIR env var, so wire it via the config API
+    # (repeat CLI runs then skip the multi-minute train-step compile)
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_uegan")
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+    except Exception:
+        pass
 
     from uegan_tpu.data.pipeline import get_test_loader, get_train_loader
     from uegan_tpu.parallel.distributed import initialize_distributed

@@ -41,6 +41,34 @@ def test_strip_eval_matches_packed(rng, shape, r):
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("shape,r", [
+    ((1, 128, 64), 16),   # S=4
+    ((2, 64, 64), 16),    # S=2: single interior boundary, both borders
+])
+def test_strip_border_rows_exact_scaled(rng, shape, r):
+    """Image-border rows must be exact even with amplified weights.
+
+    Init-scale weights attenuate the border-halo geometry error below the
+    default tolerances (measured ~4e-9), so the plain exactness tests cannot
+    catch the bug class where the slabs' mirror-extended halos are not
+    re-reflected per layer (conv does not commute with mirror extension —
+    ADVICE r1).  Scaling the params up makes the error O(1e-2) at the top /
+    bottom output rows if the refix is missing.
+    """
+    n, h, w = shape
+    state, bundle, g_params, _ = _setup((h, w))
+    gs = jax.tree.map(lambda a: a * 8.0, g_params)
+    packed = pack_generator_params(jax.device_get(gs), bundle.g_model.conv_dim)
+    x = jnp.asarray(rng.uniform(-1, 1, (n, h, w, 3)).astype(np.float32))
+    ref = np.asarray(jax.jit(make_packed_eval(bundle, packed))(gs, x))
+    got = np.asarray(jax.jit(make_strip_eval(bundle, packed, r))(gs, x))
+    # without the refixes the border rows deviate ~4.5e-4 at this scale
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+    # chunked exit path sees the same refixes
+    ch = np.asarray(jax.jit(make_strip_eval(bundle, packed, r, 2))(gs, x))
+    np.testing.assert_allclose(ch, ref, rtol=1e-5, atol=1e-5)
+
+
 def test_strip_eval_matches_packed_bf16(rng):
     """bf16 (the production dtype): identical op sequence -> tight agreement."""
     state, bundle, g_params, packed = _setup((64, 64), "bfloat16")

@@ -14,16 +14,26 @@ final output.  Strip slabs carry a reflect-extended halo — the entry chain
 (halo ``_M_EXIT``) are plain SLICES of the entry outputs, not re-gathers.
 Each conv contaminates at most its own receptive reach at the fake slab
 edges, the margins cover the cumulative reach, and the contaminated margin
-is discarded at reassembly, so the result is EXACT (test-enforced against
-the direct packed forward).  W is never cut (the probe shows row extent
+is discarded at reassembly.  At the IMAGE borders (first/last slab) one
+extra invariant is enforced: the canonical model reflect-pads EACH layer's
+own input, and conv does not commute with the one-shot mirror extension, so
+after every conv the border slabs' halo rows are re-reflected from their
+real rows (``_refix_outer_slab_halos`` in the entry chain,
+``_refix_exit_halos`` in the exit chain, reflect-indexed resize matrices
+for up3/up4; pointwise stages — GAM 1x1s, IN application, leaky, the
+residual — commute and need nothing).  With both mechanisms the result is
+EXACT including the border rows (test-enforced against the direct packed
+forward, incl. with 8x-amplified weights that would expose halo geometry
+errors the init-scale weights attenuate).  W is never cut (the probe shows row extent
 triggers the blocking), so packed_conv's W-border reflect fix-ups stay
 correct.
 
 Global-extent ops stay exact inside the strip chain:
-- ga1/ga2 SE vectors and instance-norm moments are reduced ACROSS the strip
-  batch over interior rows only (each pixel counted exactly once) — the
-  strips of one image all live in the same batched tensor, so "global" is
-  just a different reduction axis;
+- ga1/ga2 instance-norm moments are reduced ACROSS the strip batch over
+  interior rows only (each pixel counted exactly once) — the strips of one
+  image all live in the same batched tensor, so "global" is just a
+  different reduction axis (the GAM SE branches are dropped entirely at
+  inference: they are IN-cancelled constants, see packed.gam_norm_eval);
 - the up3/up4 x2-resizes cross strip boundaries by one row, handled with
   per-strip (banded, for up3) slices of the global align-corners
   interpolation matrix stacked into one batched einsum.
@@ -45,6 +55,7 @@ import numpy as np
 
 from uegan_tpu.infer.packed import (
     depth_to_space,
+    gam_norm_eval,
     space_to_depth,
     leaky,
     pack_generator_params,
@@ -150,12 +161,13 @@ def _refix_outer_slab_halos(t: Array, n: int, s: int, edge: int, c=None) -> Arra
     return tr.reshape(t.shape)
 
 
-def _refix_exit_halos(t: Array, n: int, sc: int, strip_ids: Array, s_total: int,
+def _refix_exit_halos(t: Array, n: int, strip_ids: Array, s_total: int,
                       m: int, c) -> Array:
     """:func:`_refix_outer_slab_halos` for exit-chain slabs whose global strip
-    index is traced (the chunked path): reflect rows are built for every slab
-    (m rows each — cheap) and selected only where the slab is the image's
-    first/last strip."""
+    index may be traced (the chunked path): reflect rows are built for every
+    slab (m rows each — cheap) and selected only where the slab is the
+    image's first/last strip.  ``strip_ids`` has one entry per strip of the
+    call (slabs are N-major: image-major, strip-minor)."""
     hs = t.shape[1]
     top, _ = _packed_pad_rows_top_bot(t[:, m:], m, c)
     _, bot = _packed_pad_rows_top_bot(t[:, : hs - m], m, c)
@@ -206,6 +218,15 @@ def _strip_resize_matrices(hp: int, s: int, r: int, m: int):
     packed_resize2x_conv1x1).  Strip slab output row j maps to global row
     sR-M+j; entries whose source column falls outside the slab are zeroed —
     they only occur for margin rows, which are discarded.
+
+    Border-slab halo rows (global row outside [0, hp)) are emitted as the
+    ORIGINAL-domain torch reflect of the resize output — original output row
+    -t holds row t, row 2H-1+t holds row 2H-1-t, expressed per packed phase
+    (leading packed pad row -g: phase0 <- row g, phase1 <- row g-1; see
+    packed_reflect_pad).  That makes up4s's halo rows exactly the canonical
+    reflect pad of dec4's input for free (the canonical model reflect-pads
+    each layer's own input; mirror-extending the input once does not commute
+    with the convs — ADVICE r1), so no runtime fix-up is needed for up4s.
     """
     mh = _interp_matrix_np(hp, 2 * hp, True)  # (2hp, hp)
     mhp = mh.reshape(hp, 2, hp).transpose(1, 0, 2)  # (2, hp, hp)
@@ -214,9 +235,17 @@ def _strip_resize_matrices(hp: int, s: int, r: int, m: int):
     for i in range(s):
         base = i * r - m
         for j in range(hs):
-            o = min(max(base + j, 0), hp - 1)
+            g = base + j
             lo, hi = max(base, 0), min(base + hs, hp)
-            out[i, :, j, lo - base : hi - base] = mhp[:, o, lo:hi]
+            for e in (0, 1):
+                if g < 0:
+                    o = -g - e  # leading packed reflect, per phase
+                elif g >= hp:
+                    o = 2 * hp - 1 - g - e  # trailing packed reflect
+                else:
+                    o = g
+                o = min(max(o, 0), hp - 1)  # tiny-map safety
+                out[i, e, j, lo - base : hi - base] = mhp[e, o, lo:hi]
     return out
 
 
@@ -224,8 +253,11 @@ def _strip_resize_matrices(hp: int, s: int, r: int, m: int):
 def _strip_up3_matrices(hp: int, s: int, r: int, m: int):
     """Banded per-strip H matrices for the up3 stage (hp//2 -> hp rows).
 
-    Strip slab output row j maps to global output row clamp(sR-M+j) (clamped
-    rows are margin rows, discarded after dec3).  Each strip's rows only read
+    Strip slab output row j maps to global output row sR-M+j; border-slab
+    halo rows (outside [0, hp)) are emitted as the torch reflect of the
+    resize output (row -t <- row t; up3s lives at H/2 resolution where the
+    packed row IS the original row, so plain row reflect is the canonical
+    dec3 pad — cf. _strip_resize_matrices).  Each strip's rows only read
     a ~(R/2+M)-wide band of source rows, so the matrices carry just that
     window — returns (mats (s, R+2M, win), window starts, win).  Dropping
     the all-zero columns outside the band is exact.
@@ -233,7 +265,13 @@ def _strip_up3_matrices(hp: int, s: int, r: int, m: int):
     h2 = hp // 2
     mh = _interp_matrix_np(h2, hp, True)  # (hp, h2)
     hs = r + 2 * m
-    rows = [np.clip(np.arange(i * r - m, i * r - m + hs), 0, hp - 1) for i in range(s)]
+
+    def refl(a):
+        a = np.abs(a)  # leading reflect: row -t -> t
+        a = np.where(a >= hp, 2 * (hp - 1) - a, a)  # trailing reflect
+        return np.clip(a, 0, hp - 1)  # tiny-map safety
+
+    rows = [refl(np.arange(i * r - m, i * r - m + hs)) for i in range(s)]
     bands = []
     for i in range(s):
         nz = np.nonzero(mh[rows[i]].any(axis=0))[0]
@@ -299,7 +337,7 @@ def make_strip_eval(bundle, packed: Dict[str, np.ndarray], strip_rows: int,
     — e.g. 4096px, which RESOURCE_EXHAUSTed unchunked), -1 = never, >0 =
     forced (rounded down to a divisor of the strip count).
     """
-    from uegan_tpu.models.blocks import ConvBlock, GAM, SNConv
+    from uegan_tpu.models.blocks import ConvBlock, SNConv
     from uegan_tpu.ops.resize import upsample2x_align_corners
 
     gm = bundle.g_model
@@ -317,10 +355,6 @@ def make_strip_eval(bundle, packed: Dict[str, np.ndarray], strip_rows: int,
                          use_bias=True, norm_fun="none", act_fun="LeakyReLU",
                          use_sn=False, dtype=dt, param_dtype=gm.param_dtype)
 
-    def gam(nc):
-        return GAM(out_nc=nc, reduction=8, use_bias=False, use_sn=False,
-                   norm=True, split_fuse=True, dtype=dt, param_dtype=gm.param_dtype)
-
     def up(features):
         return SNConv(features=features, kernel_size=1, stride=1, use_bias=True,
                       use_sn=False, dtype=dt, param_dtype=gm.param_dtype)
@@ -333,7 +367,9 @@ def make_strip_eval(bundle, packed: Dict[str, np.ndarray], strip_rows: int,
             precision=jax.lax.Precision.HIGHEST if dt == jnp.float32
             else jax.lax.Precision.DEFAULT,
         )
-        return (y + jnp.tile(bias.astype(y.dtype), 4)).astype(dt)
+        if bias is not None:
+            y = y + jnp.tile(bias.astype(y.dtype), 4)
+        return y.astype(dt)
 
     prec = (jax.lax.Precision.HIGHEST if dt == jnp.float32
             else jax.lax.Precision.DEFAULT)
@@ -347,12 +383,6 @@ def make_strip_eval(bundle, packed: Dict[str, np.ndarray], strip_rows: int,
         pm = jnp.mean(t, axis=(1, 2)).reshape(n, s, phases, c)
         ps = jnp.mean(t * t, axis=(1, 2)).reshape(n, s, phases, c)
         return pm.mean(axis=(1, 2)), ps.mean(axis=(1, 2))  # (n, c) each
-
-    def se_stats(ts, n, s, off, phases, c, count):
-        """GAM mean/unbiased-std (packed_gam_stats semantics) from interiors."""
-        mean, sq = interior_moments(ts, n, s, off, phases, c)
-        var = (sq - mean * mean) * (count / max(count - 1, 1))
-        return mean, jnp.sqrt(jnp.maximum(var, 0.0) + eps)
 
     def strip_instance_norm(ts, n, s, off, phases, c):
         """Non-affine IN (biased var, matching packed_instance_norm) with
@@ -383,9 +413,15 @@ def make_strip_eval(bundle, packed: Dict[str, np.ndarray], strip_rows: int,
         x1s = leaky(packed_conv(xs, pk["enc1_k"], s0s["enc1_s0"], 3,
                                 p["enc1"]["conv"]["bias"], dt,
                                 h_fixups=False))                    # valid halo E-2
+        # conv does not commute with the input's mirror extension, so the
+        # border slabs' halo rows now hold extended-domain values; re-reflect
+        # them from the real rows so every later consumer (enc2/enc3 and the
+        # exit chain's x1/x2 slices) sees the canonical per-layer reflect pad
+        x1s = _refix_outer_slab_halos(x1s, n, s, E, c=cd)
         x2s = leaky(packed_conv(x1s, pk["enc2_k"], s0s["enc2_s0"], cd,
                                 p["enc2"]["conv"]["bias"], dt,
                                 h_fixups=False))                    # valid halo E-3
+        x2s = _refix_outer_slab_halos(x2s, n, s, E)
         with skip_h_borders():
             x3s = block(cd * 4, 3, 2).apply({"params": p["enc3"]}, x2s, False, False)
         x3 = _unslab(x3s[:, E // 2 : E // 2 + r // 2], n, s)  # (N, Hp/2, Wp/2, 4cd)
@@ -393,7 +429,7 @@ def make_strip_eval(bundle, packed: Dict[str, np.ndarray], strip_rows: int,
         # ---- direct middle: every map <= Hp/2 rows ----
         x4 = block(cd * 8, 3, 2).apply({"params": p["enc4"]}, x3, False, False)
         x5 = block(cd * 16, 3, 2).apply({"params": p["enc5"]}, x4, False, False)
-        x5 = gam(cd * 16).apply({"params": p["ga5"]}, x5, update_sn=False)
+        x5 = gam_norm_eval(x5, p["ga5"], dt)
 
         def up_stage(name, feat, t):
             # On huge maps (resize output past the matmul-resize cutoff,
@@ -414,12 +450,12 @@ def make_strip_eval(bundle, packed: Dict[str, np.ndarray], strip_rows: int,
 
         y1 = up_stage("upsample1", cd * 8, x5)
         y1 = jnp.concatenate(
-            [y1, gam(cd * 8).apply({"params": p["ga4"]}, x4, update_sn=False)], -1)
+            [y1, gam_norm_eval(x4, p["ga4"], dt)], -1)
         y1 = block(cd * 8, 3, 1).apply({"params": p["dec1"]}, y1, False, False)
 
         y2 = up_stage("upsample2", cd * 4, y1)
         y2 = jnp.concatenate(
-            [y2, gam(cd * 4).apply({"params": p["ga3"]}, x3, update_sn=False)], -1)
+            [y2, gam_norm_eval(x3, p["ga3"], dt)], -1)
         y2 = block(cd * 4, 3, 1).apply({"params": p["dec2"]}, y2, False, False)
 
         # ---- strip re-entry: up3 emitted directly in slab form ----
@@ -439,34 +475,18 @@ def make_strip_eval(bundle, packed: Dict[str, np.ndarray], strip_rows: int,
         mwp = jnp.asarray(mwh.reshape(wp, 2, wp).transpose(1, 0, 2), dt)
         k4 = p["upsample4"]["kernel"][0, 0].astype(dt)
 
-        # global SE vectors (split-fuse consts: fuse(concat[x, bcast(h)]) ==
-        # x @ kx + h @ kh + b), from the full entry outputs
+        # ga1/ga2 SE branches + fuse biases are per-(image, channel) consts
+        # that the instance norm removes exactly (see packed.gam_norm_eval) —
+        # only the x-part 1x1 conv survives
         c2 = cd * 2
-        mean2, std2 = se_stats(x2s, n, s, E, 1, c2, hp * wp)
-        stats2 = jnp.concatenate([mean2, std2], -1).astype(dt)
-        sq2 = p["ga2"]["squeeze"]["kernel"][0, 0].astype(dt)
-        ex2 = p["ga2"]["excite"]["kernel"][0, 0].astype(dt)
-        hvec2 = jax.nn.relu(stats2 @ sq2) @ ex2
         kx2 = p["ga2"]["fuse"]["kernel"][0, 0, :c2, :].astype(dt)
-        kh2 = p["ga2"]["fuse"]["kernel"][0, 0, c2:, :].astype(dt)
-        hc2 = (hvec2 @ kh2)[:, None, None, :]
 
-        mean1, std1 = se_stats(x1s, n, s, E, 4, cd, h * w)
-        stats1 = jnp.concatenate([mean1, std1], -1).astype(dt)
-        sq1 = p["ga1"]["squeeze"]["kernel"][0, 0].astype(dt)
-        ex1 = p["ga1"]["excite"]["kernel"][0, 0].astype(dt)
-        hvec = jax.nn.relu(stats1 @ sq1) @ ex1
-        kh = p["ga1"]["fuse"]["kernel"][0, 0, cd:, :].astype(dt)
-        hc = jnp.tile(hvec @ kh, (1, 4))[:, None, None, :]
+        def ga2_vals(x2part):
+            return jnp.einsum("nhwc,cq->nhwq", x2part, kx2,
+                              precision=prec).astype(dt)
 
-        def ga2_vals(x2part, reps):
-            g = jnp.einsum("nhwc,cq->nhwq", x2part, kx2, precision=prec)
-            g = g + p["ga2"]["fuse"]["bias"].astype(g.dtype)
-            return (g + jnp.repeat(hc2, reps, axis=0).astype(g.dtype)).astype(dt)
-
-        def ga1_vals(x1part, reps):
-            g = conv1x1(x1part, pk["ga1_fuse_x_k"], p["ga1"]["fuse"]["bias"])
-            return g + jnp.repeat(hc, reps, axis=0).astype(g.dtype)
+        def ga1_vals(x1part):
+            return conv1x1(x1part, pk["ga1_fuse_x_k"], None)
 
         def apply_in(ts, norm, reps, phases, c):
             """strip_instance_norm's application with precomputed moments."""
@@ -478,16 +498,27 @@ def make_strip_eval(bundle, packed: Dict[str, np.ndarray], strip_rows: int,
             return ((ts.astype(jnp.float32) - bcast(gmean)) * bcast(gscale)
                     ).astype(ts.dtype)
 
-        def exit_strips(x1c, x2c, xc, m3c, y2wc, m4c, sc, norm1, norm2,
-                        slab_unpack):
+        def exit_strips(x1c, x2c, xc, m3c, y2wc, m4c, sc, strip_ids, norm1,
+                        norm2, slab_unpack):
             """dec3..output on ``sc`` strips of every image.
 
             x1c/x2c/xc: (n*sc, r+2E, wp, C) entry/input slabs.  norm1/norm2
             None -> GAM-IN moments computed inline from these strips (exact
             only when sc == s); else (mean, scale) global f32 pairs.
+            ``strip_ids``: global strip index of each of the sc strips (may
+            be traced) — border slabs get their conv outputs' halo rows
+            re-reflected so each stage reads canonical pad values.
             ``slab_unpack``: apply depth_to_space per slab (returns
             (n*sc, 2r, 2wp, 3)) instead of leaving the packed slabs
             (n*sc, r, wp, 12) for a full-height unpack.
+
+            Halo canonicality bookkeeping (border slabs): x1c/x2c come in
+            refixed from the entry chain; up3s/up4s halos are canonical by
+            construction (reflect-indexed resize matrices); ga1s/ga2s inherit
+            canonical halos because 1x1 convs, the broadcast SE vector, and
+            the IN application are pointwise per original pixel and so
+            commute with the reflect; y4s/h5s are conv outputs and need the
+            explicit refix before the next conv reads them.
             """
             ns = n * sc
             up3s = jnp.einsum("soh,fpw,nshwc,cq->nsopfq", m3c, mwp2, y2wc,
@@ -496,7 +527,7 @@ def make_strip_eval(bundle, packed: Dict[str, np.ndarray], strip_rows: int,
             up3s = (up3s + b3.astype(up3s.dtype)).astype(dt)
 
             # ga2 in-chain on a SLICE of the entry x2 slabs
-            ga2s = ga2_vals(x2c[:, E - m : E + r + m], sc)
+            ga2s = ga2_vals(x2c[:, E - m : E + r + m])
             ga2s = (strip_instance_norm(ga2s, n, s, m, 1, c2) if norm2 is None
                     else apply_in(ga2s, norm2, sc, 1, c2))
 
@@ -514,15 +545,19 @@ def make_strip_eval(bundle, packed: Dict[str, np.ndarray], strip_rows: int,
             # ga1 in-chain on a SLICE of the entry x1 slabs (packed domain:
             # 4 phase groups)
             x1es = x1c[:, E - m : E + r + m]
-            ga1s = ga1_vals(x1es, sc)
+            ga1s = ga1_vals(x1es)
             ga1s = (strip_instance_norm(ga1s, n, s, m, 4, cd) if norm1 is None
                     else apply_in(ga1s, norm1, sc, 4, cd))
 
             y4s = leaky(packed_conv(
                 jnp.concatenate([up4s, ga1s], -1), pk["dec4_k"], s0s["dec4_s0"],
                 [cd, cd], p["dec4"]["conv"]["bias"], dt, h_fixups=False))
+            # dec5_0 reflect-pads its input y4*x1; x1es halos are reflect
+            # already, so refixing y4s makes the product's halos reflect too
+            y4s = _refix_exit_halos(y4s, n, strip_ids, s, m, cd)
             h5s = packed_conv(y4s * x1es, pk["dec5_0_k"], s0s["dec5_0_s0"], cd,
                               p["dec5_0"]["bias"], dt, h_fixups=False)
+            h5s = _refix_exit_halos(h5s, n, strip_ids, s, m, cd)
             ress = jnp.tanh(packed_conv(h5s, pk["dec5_1_k"], s0s["dec5_1_s0"], cd,
                                         p["dec5_1"]["bias"], dt, h_fixups=False))
             outs = jnp.clip(ress.astype(jnp.float32)
@@ -546,8 +581,8 @@ def make_strip_eval(bundle, packed: Dict[str, np.ndarray], strip_rows: int,
         if cs >= s:
             slab_unpack = max(hp, wp) >= _SLAB_UNPACK_MIN
             y2w = jnp.stack([y2[:, o : o + win3] for o in starts3], axis=1)
-            outs = exit_strips(x1s, x2s, xs, mats3, y2w, mats4, s, None, None,
-                               slab_unpack)
+            outs = exit_strips(x1s, x2s, xs, mats3, y2w, mats4, s,
+                               jnp.arange(s), None, None, slab_unpack)
             if slab_unpack:
                 return _unslab(outs, n, s)
             return depth_to_space(_unslab(outs, n, s))
@@ -570,12 +605,10 @@ def make_strip_eval(bundle, packed: Dict[str, np.ndarray], strip_rows: int,
         # gives per-strip partials identical to strip_instance_norm's
         def ga_mom(ci):
             c0 = ci * cs
-            g2 = ga2_vals(chunk_slabs(x2r, c0)[:, E : E + r], cs
-                          ).astype(jnp.float32)
+            g2 = ga2_vals(chunk_slabs(x2r, c0)[:, E : E + r]).astype(jnp.float32)
             pm2 = jnp.mean(g2, axis=(1, 2)).reshape(n, cs, 1, c2)
             ps2 = jnp.mean(g2 * g2, axis=(1, 2)).reshape(n, cs, 1, c2)
-            g1 = ga1_vals(chunk_slabs(x1r, c0)[:, E : E + r], cs
-                          ).astype(jnp.float32)
+            g1 = ga1_vals(chunk_slabs(x1r, c0)[:, E : E + r]).astype(jnp.float32)
             pm1 = jnp.mean(g1, axis=(1, 2)).reshape(n, cs, 4, cd)
             ps1 = jnp.mean(g1 * g1, axis=(1, 2)).reshape(n, cs, 4, cd)
             return pm1, ps1, pm2, ps2
@@ -602,7 +635,7 @@ def make_strip_eval(bundle, packed: Dict[str, np.ndarray], strip_rows: int,
                  for i in range(cs)], axis=1)
             return exit_strips(chunk_slabs(x1r, c0), chunk_slabs(x2r, c0),
                                chunk_slabs(xr, c0), m3c, y2wc, m4c, cs,
-                               norm1, norm2, True)
+                               c0 + jnp.arange(cs), norm1, norm2, True)
 
         outs = jax.lax.map(exit_chunk, jnp.arange(nch))  # (nch, n*cs, 2r, 2wp, 3)
         outs = outs.reshape(nch, n, cs, 2 * r, 2 * wp, outs.shape[-1])

@@ -124,6 +124,26 @@ def test_fused_resize_conv_einsums_match_unfused(rng):
     np.testing.assert_allclose(np.asarray(got_p), np.asarray(ref_p), rtol=1e-5, atol=1e-5)
 
 
+def test_gam_norm_eval_matches_canonical_gam(rng):
+    """IN(conv1x1(x, W_x)) == full GAM-with-norm: the SE branch and fuse
+    bias are spatially constant, so the non-affine instance norm removes
+    them exactly (the inference fast paths drop the dead branch)."""
+    from uegan_tpu.infer.packed import gam_norm_eval
+    from uegan_tpu.models.blocks import GAM
+
+    c = 16
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, c)).astype(np.float32))
+    mod = GAM(out_nc=c, reduction=8, use_bias=False, use_sn=False, norm=True)
+    params = mod.init(jax.random.PRNGKey(3), x)["params"]
+    # amplify the fuse bias + SE weights so the dropped constants are LARGE
+    # relative to the conv output — any cancellation failure would show
+    params = jax.tree.map(lambda a: a * 3.0, params)
+    ref = mod.apply({"params": params}, x, update_sn=False)
+    got = gam_norm_eval(x, params, jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_packed_gam_stats_and_instance_norm(rng):
     x = jnp.asarray(rng.standard_normal((2, 8, 8, 4)).astype(np.float32))
     m_ref, s_ref = feature_mean_std(x)

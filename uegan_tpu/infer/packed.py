@@ -580,6 +580,33 @@ def packed_instance_norm(xp: Array, c: int, eps: float = 1e-5) -> Array:
     return y.reshape(n, hp, wp, 4 * c).astype(xp.dtype)
 
 
+def gam_norm_eval(x: Array, gp: Dict, dt) -> Array:
+    """GAM with norm=True at inference: ``IN(conv1x1(x, W_x))`` exactly.
+
+    The SE branch (global stats -> squeeze -> relu -> excite) and the fuse
+    bias enter the 1x1 fuse conv as per-(image, channel) CONSTANTS —
+    spatially uniform (reference: models.py:230-237, the broadcast
+    ``out.expand_as(x)``).  The non-affine instance norm that follows
+    (``norm=True`` at every GAM site in G) subtracts the per-channel mean
+    and divides by the per-channel std, and constants neither survive the
+    mean subtraction nor move the variance, so GAM(x) == IN(conv1x1(x, W_x))
+    in exact arithmetic.  Dropping the dead branch at inference removes, per
+    GAM, one full-tensor stats reduction, one full-tensor broadcast-add
+    pass, and the SE matmuls (~15 ms of the 226 ms 512px B=128 step across
+    ga1..ga5).  Training keeps the canonical module: the loss canary
+    contract demands the original op sequence, and the SE params' gradient
+    is exactly zero either way (in the torch reference too), so no
+    trainable behavior differs.
+    """
+    from uegan_tpu.ops.norms import instance_norm
+
+    c = x.shape[-1]
+    kx = gp["fuse"]["kernel"][0, 0, :c, :].astype(dt)
+    prec = lax.Precision.HIGHEST if dt == jnp.float32 else lax.Precision.DEFAULT
+    y = jnp.einsum("nhwc,cq->nhwq", x.astype(dt), kx, precision=prec)
+    return instance_norm(y)
+
+
 # ---------------------------------------------------------------------------
 # packed generator (inference fast path)
 # ---------------------------------------------------------------------------
@@ -729,11 +756,24 @@ def make_packed_eval(bundle, packed: Dict[str, np.ndarray] = None):
             preferred_element_type=jnp.float32 if dt == jnp.float32 else None,
             precision=lax.Precision.HIGHEST if dt == jnp.float32 else lax.Precision.DEFAULT,
         )
-        return (y + jnp.tile(bias.astype(y.dtype), 4)).astype(dt)
+        if bias is not None:
+            y = y + jnp.tile(bias.astype(y.dtype), 4)
+        return y.astype(dt)
+
+    # inference (offline-packed kernels): the GAMs' SE branch + fuse bias are
+    # constants the instance norm removes exactly — run IN(conv1x1(x, W_x))
+    # only (see gam_norm_eval).  Training keeps the canonical module (canary).
+    dead_se = packed is not None
 
     def fn(params, x):
         p = params
         pk = packed if packed is not None else pack_generator_params_traced(p, cd)
+
+        def gam_apply(name, nc, t):
+            if dead_se:
+                return gam_norm_eval(t, p[name], dt)
+            return gam(nc).apply({"params": p[name]}, t, update_sn=False)
+
         xp = space_to_depth(x.astype(dt))  # (N,H/2,W/2,12)
         x1p = leaky(packed_conv(xp, pk["enc1_k"], enc1_s0, 3, p["enc1"]["conv"]["bias"], dt))
         x2 = leaky(packed_conv(x1p, pk["enc2_k"], enc2_s0, cd, p["enc2"]["conv"]["bias"], dt))
@@ -742,7 +782,7 @@ def make_packed_eval(bundle, packed: Dict[str, np.ndarray] = None):
         x3 = block(cd * 4, 3, 2, "enc3").apply({"params": p["enc3"]}, x2, False, False)
         x4 = block(cd * 8, 3, 2, "enc4").apply({"params": p["enc4"]}, x3, False, False)
         x5 = block(cd * 16, 3, 2, "enc5").apply({"params": p["enc5"]}, x4, False, False)
-        x5 = gam(cd * 16).apply({"params": p["ga5"]}, x5, update_sn=False)
+        x5 = gam_apply("ga5", cd * 16, x5)
 
         # Interior upsamples stay canonical: fusing their resize+1x1 conv
         # into one UNPACKED einsum (resize2x_conv1x1) measured MUCH slower
@@ -755,29 +795,35 @@ def make_packed_eval(bundle, packed: Dict[str, np.ndarray] = None):
             )
 
         y1 = up_stage("upsample1", cd * 8, x5)
-        y1 = jnp.concatenate([y1, gam(cd * 8).apply({"params": p["ga4"]}, x4, update_sn=False)], -1)
+        y1 = jnp.concatenate([y1, gam_apply("ga4", cd * 8, x4)], -1)
         y1 = block(cd * 8, 3, 1, "dec1").apply({"params": p["dec1"]}, y1, False, False)
 
         y2 = up_stage("upsample2", cd * 4, y1)
-        y2 = jnp.concatenate([y2, gam(cd * 4).apply({"params": p["ga3"]}, x3, update_sn=False)], -1)
+        y2 = jnp.concatenate([y2, gam_apply("ga3", cd * 4, x3)], -1)
         y2 = block(cd * 4, 3, 1, "dec2").apply({"params": p["dec2"]}, y2, False, False)
 
         y3 = up_stage("upsample3", cd * 2, y2)
-        y3 = jnp.concatenate([y3, gam(cd * 2).apply({"params": p["ga2"]}, x2, update_sn=False)], -1)
+        y3 = jnp.concatenate([y3, gam_apply("ga2", cd * 2, x2)], -1)
         y3 = block(cd * 2, 3, 1, "dec3").apply({"params": p["dec3"]}, y3, False, False)
 
         # ga1 on the packed x1
-        mean, std = packed_gam_stats(x1p, cd)  # (n, cd) each
-        stats = jnp.concatenate([mean, std], -1).astype(dt)  # (n, 2cd)
-        sq = p["ga1"]["squeeze"]["kernel"][0, 0].astype(dt)  # (2cd, cd//8)
-        ex = p["ga1"]["excite"]["kernel"][0, 0].astype(dt)  # (cd//8, cd)
-        h = jax.nn.relu(stats @ sq) @ ex  # (n, cd)
-        # split fuse: conv only the x-part; h's contribution is a per-image
-        # matmul broadcast like a bias (identical for all 4 phases)
-        kh = p["ga1"]["fuse"]["kernel"][0, 0, cd:, :].astype(dt)  # (cd, cd)
-        ga1p = conv1x1(x1p, jnp.asarray(pk["ga1_fuse_x_k"]), p["ga1"]["fuse"]["bias"], cd)
-        ga1p = ga1p + jnp.tile(h @ kh, (1, 4))[:, None, None, :].astype(ga1p.dtype)
-        ga1p = packed_instance_norm(ga1p, cd)
+        if dead_se:
+            # SE branch + bias cancel in the IN (gam_norm_eval, packed form)
+            ga1p = packed_instance_norm(
+                conv1x1(x1p, jnp.asarray(pk["ga1_fuse_x_k"]), None, cd), cd)
+        else:
+            mean, std = packed_gam_stats(x1p, cd)  # (n, cd) each
+            stats = jnp.concatenate([mean, std], -1).astype(dt)  # (n, 2cd)
+            sq = p["ga1"]["squeeze"]["kernel"][0, 0].astype(dt)  # (2cd, cd//8)
+            ex = p["ga1"]["excite"]["kernel"][0, 0].astype(dt)  # (cd//8, cd)
+            h = jax.nn.relu(stats @ sq) @ ex  # (n, cd)
+            # split fuse: conv only the x-part; h's contribution is a
+            # per-image matmul broadcast like a bias (same for all 4 phases)
+            kh = p["ga1"]["fuse"]["kernel"][0, 0, cd:, :].astype(dt)  # (cd, cd)
+            ga1p = conv1x1(x1p, jnp.asarray(pk["ga1_fuse_x_k"]),
+                           p["ga1"]["fuse"]["bias"], cd)
+            ga1p = ga1p + jnp.tile(h @ kh, (1, 4))[:, None, None, :].astype(ga1p.dtype)
+            ga1p = packed_instance_norm(ga1p, cd)
 
         h4, w4 = x.shape[1], x.shape[2]
         if packed is not None:

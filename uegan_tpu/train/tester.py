@@ -252,17 +252,22 @@ class Tester:
         print(f"=== Saved {n_done} enhanced images into {test_save_path} "
               f"({time.time() - start_time:.1f}s) ===")
 
+        results = {"n_images": n_done, "output_dir": test_save_path}
         if args.is_test_nima:
             nima_path = os.path.join(args.save_root_dir, "nima_test_results")
             curr = calc_nima(test_save_path, nima_path, tag,
                              weights_path=args.nima_weights, legacy_average=args.legacy_metrics)
             print(f"====== Avg. NIMA: {curr:>.4f} ======")
+            results["nima"] = float(curr)
         if args.is_test_psnr_ssim:
             psnr_path = os.path.join(args.save_root_dir, "psnr_test_results")
             curr = calc_psnr(test_save_path, args.test_label_dir, psnr_path, tag,
                              legacy_average=args.legacy_metrics)
             print(f"====== Avg. PSNR: {curr:>.4f} dB ======")
+            results["psnr"] = float(curr)
             ssim_path = os.path.join(args.save_root_dir, "ssim_test_results")
             curr = calc_ssim(test_save_path, args.test_label_dir, ssim_path, tag,
                              legacy_average=args.legacy_metrics)
             print(f"====== Avg. SSIM: {curr:>.4f}  ======")
+            results["ssim"] = float(curr)
+        return results

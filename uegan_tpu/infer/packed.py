@@ -613,6 +613,16 @@ def gam_norm_eval(x: Array, gp: Dict, dt) -> Array:
 # single source for each packed layer's (kernel size, original pad) — used
 # by the numpy packer, the traced packer, and the static s0 offsets so the
 # three can never disagree
+# Inference-path layout experiments (measured on TPU v5e, 512px B=128;
+# flags so the A/B is reproducible — the defaults are the measured winners):
+# - interior commute OFF: conv1x1-before-resize in up1..up3 measured 454
+#   vs 573 img/s (the post-resize conv's layout feeds the decoder better);
+# - up4 commute ON: conv1x1 (64->32ch at half-res) then the phase-split
+#   packed resize measured 592 vs 573 img/s — it kills the fused 4-operand
+#   einsum's two 2.15GB transpose copies (HLO copy.91/92, ~27ms/step).
+_COMMUTE_UP_INTERIOR = False  # conv1x1 before the x2 resize in up1..up3
+_COMMUTE_UP4 = True           # same for up4 (vs the fused packed einsum)
+
 _PACK_PADS = {
     "enc1": (7, 3),
     "enc2": (3, 1),  # stride-2 consumer
@@ -784,12 +794,18 @@ def make_packed_eval(bundle, packed: Dict[str, np.ndarray] = None):
         x5 = block(cd * 16, 3, 2, "enc5").apply({"params": p["enc5"]}, x4, False, False)
         x5 = gam_apply("ga5", cd * 16, x5)
 
-        # Interior upsamples stay canonical: fusing their resize+1x1 conv
-        # into one UNPACKED einsum (resize2x_conv1x1) measured MUCH slower
-        # e2e (406 vs 516 img/s at 512px B=128) — unlike up4, where the
-        # packed phase structure makes the fused einsum a win.  The old
-        # conv-before-resize commute was also slower (327-335 vs 377).
+        # Interior upsamples: fusing their resize+1x1 conv into one UNPACKED
+        # einsum (resize2x_conv1x1) measured MUCH slower e2e (406 vs 516
+        # img/s at 512px B=128) — unlike up4, where the packed phase
+        # structure makes the fused einsum a win.
         def up_stage(name, feat, t):
+            if dead_se and _COMMUTE_UP_INTERIOR:
+                # INFERENCE: the 1x1 conv commutes with the bilinear resize
+                # (both linear; interpolation rows sum to 1 so the bias
+                # passes through exactly) — conv at 1/4 the pixels, resize
+                # moving Cout=Cin/2 channels.
+                t = up(feat).apply({"params": p[name]}, t, update_sn=False)
+                return upsample2x_align_corners(t)
             return up(feat).apply(
                 {"params": p[name]}, upsample2x_align_corners(t), update_sn=False
             )
@@ -826,7 +842,14 @@ def make_packed_eval(bundle, packed: Dict[str, np.ndarray] = None):
             ga1p = packed_instance_norm(ga1p, cd)
 
         h4, w4 = x.shape[1], x.shape[2]
-        if packed is not None:
+        if packed is not None and _COMMUTE_UP4:
+            # INFERENCE variant: 1x1 conv first (64->32ch at half-res), then
+            # the phase-split packed resize on the narrowed tensor.
+            up4k = p["upsample4"]["kernel"][0, 0].astype(dt)
+            z4 = jnp.einsum("nhwc,cq->nhwq", y3.astype(dt), up4k)
+            z4 = z4 + p["upsample4"]["bias"].astype(dt)
+            up4 = packed_resize2x(z4, (h4, w4))
+        elif packed is not None:
             # INFERENCE: resize and the 1x1 conv fused into one einsum —
             # kills the conv's full-size read/write and the packed-layout
             # copy (see packed_resize2x_conv1x1; one extra bf16 rounding).

@@ -622,6 +622,8 @@ def gam_norm_eval(x: Array, gp: Dict, dt) -> Array:
 #   einsum's two 2.15GB transpose copies (HLO copy.91/92, ~27ms/step).
 _COMMUTE_UP_INTERIOR = False  # conv1x1 before the x2 resize in up1..up3
 _COMMUTE_UP4 = True           # same for up4 (vs the fused packed einsum)
+_PALLAS_BOUNDARIES = False    # fused s2d/tail kernels (ops/pallas/s2d_fuse)
+_PALLAS_RESIZE = False        # fused interior x2 resize (ops/pallas/resize2x)
 
 _PACK_PADS = {
     "enc1": (7, 3),
@@ -784,7 +786,17 @@ def make_packed_eval(bundle, packed: Dict[str, np.ndarray] = None):
                 return gam_norm_eval(t, p[name], dt)
             return gam(nc).apply({"params": p[name]}, t, update_sn=False)
 
-        xp = space_to_depth(x.astype(dt))  # (N,H/2,W/2,12)
+        use_pallas_bound = False
+        if dead_se and _PALLAS_BOUNDARIES and dt == jnp.bfloat16:
+            from uegan_tpu.ops.pallas.s2d_fuse import eligible as _sf_ok
+
+            use_pallas_bound = _sf_ok(x.shape[1] // 2, x.shape[2] // 2, x.shape[3])
+        if use_pallas_bound:
+            from uegan_tpu.ops.pallas.s2d_fuse import s2d_convert
+
+            xp = s2d_convert(x)  # fused convert + s2d, one pass
+        else:
+            xp = space_to_depth(x.astype(dt))  # (N,H/2,W/2,12)
         x1p = leaky(packed_conv(xp, pk["enc1_k"], enc1_s0, 3, p["enc1"]["conv"]["bias"], dt))
         x2 = leaky(packed_conv(x1p, pk["enc2_k"], enc2_s0, cd, p["enc2"]["conv"]["bias"], dt))
 
@@ -798,12 +810,27 @@ def make_packed_eval(bundle, packed: Dict[str, np.ndarray] = None):
         # einsum (resize2x_conv1x1) measured MUCH slower e2e (406 vs 516
         # img/s at 512px B=128) — unlike up4, where the packed phase
         # structure makes the fused einsum a win.
+        # Interior rewrites that also measured SLOWER (512px B=128, v5e):
+        # H-resize -> 1x1-as-einsum -> W-resize ("sandwich", 454 img/s) and
+        # resize dots chained into a 1x1-as-einsum (456 img/s) vs 590 for
+        # the conv_general form — the 1x1 staying a CONVOLUTION op is what
+        # lets XLA's conv layout assignment avoid extra copies.
         def up_stage(name, feat, t):
+            if dead_se and _PALLAS_RESIZE:
+                from uegan_tpu.ops.pallas.resize2x import eligible as _rs_ok
+                from uegan_tpu.ops.pallas.resize2x import upsample2x_ac_pallas
+
+                if _rs_ok(t.shape[1], t.shape[2], t.shape[3]):
+                    # INFERENCE: fused one-pass 2-tap lerp resize (pallas)
+                    # feeding the canonical 1x1 conv
+                    return up(feat).apply(
+                        {"params": p[name]}, upsample2x_ac_pallas(t), update_sn=False
+                    )
             if dead_se and _COMMUTE_UP_INTERIOR:
                 # INFERENCE: the 1x1 conv commutes with the bilinear resize
                 # (both linear; interpolation rows sum to 1 so the bias
                 # passes through exactly) — conv at 1/4 the pixels, resize
-                # moving Cout=Cin/2 channels.
+                # moving Cout=Cin/2 channels.  Measured SLOWER (454 vs 573).
                 t = up(feat).apply({"params": p[name]}, t, update_sn=False)
                 return upsample2x_align_corners(t)
             return up(feat).apply(
@@ -894,6 +921,10 @@ def make_packed_eval(bundle, packed: Dict[str, np.ndarray] = None):
                              cd, p["dec5_0"]["bias"], dt)
             res = jnp.tanh(packed_conv(h5, pk["dec5_1_k"], dec5_1_s0,
                                        cd, p["dec5_1"]["bias"], dt))
+        if use_pallas_bound:
+            from uegan_tpu.ops.pallas.s2d_fuse import residual_tail_d2s
+
+            return residual_tail_d2s(res, xp)  # fused add+clip+d2s, one pass
         out = jnp.clip(res.astype(jnp.float32) + xp.astype(jnp.float32), -1.0, 1.0)
         return depth_to_space(out.astype(dt))
 

@@ -36,10 +36,23 @@ def main() -> None:
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
 
+    # smoke-test hooks (tests/test_bench_smoke.py): run the REAL bench code
+    # path — including the multi-device mesh branch — on the virtual CPU
+    # mesh with tiny shapes.  Default (unset) is the production config.
+    batch = int(os.environ.get("UEGAN_BENCH_BATCH", BATCH))
+    hw = int(os.environ.get("UEGAN_BENCH_HW", HW))
+    warmup = int(os.environ.get("UEGAN_BENCH_WARMUP", WARMUP))
+    iters = int(os.environ.get("UEGAN_BENCH_ITERS", ITERS))
+
     import jax
     import jax.numpy as jnp
     import numpy as np
 
+    plat = os.environ.get("UEGAN_TPU_PLATFORM")
+    if plat:
+        # JAX_PLATFORMS env var is silently ignored by this jax build (axon
+        # plugin) — the config API is the only working override
+        jax.config.update("jax_platforms", plat)
     try:
         jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_uegan")
     except Exception:
@@ -50,7 +63,7 @@ def main() -> None:
     from uegan_tpu.train.state import create_train_state
 
     cfg = Config(compute_dtype="bfloat16")
-    state, bundle = create_train_state(cfg, jax.random.PRNGKey(0), (HW, HW), steps_per_epoch=1)
+    state, bundle = create_train_state(cfg, jax.random.PRNGKey(0), (hw, hw), steps_per_epoch=1)
     devs = jax.devices()
     n_dev = len(devs)
     if n_dev > 1:
@@ -67,26 +80,26 @@ def main() -> None:
         mesh = None
         state = jax.device_put(state, devs[0])
         in_sharding = devs[0]
-    global_batch = BATCH * n_dev
+    global_batch = batch * n_dev
     # packed space-to-depth inference (test-enforced equivalent to the
     # canonical forward; 1.57x on v5e — see infer/packed.py)
     eval_fn = jax.jit(make_fast_eval(bundle, state.g_params))
 
     x = jax.device_put(
-        np.random.default_rng(0).uniform(-1, 1, (global_batch, HW, HW, 3)).astype(np.float32),
+        np.random.default_rng(0).uniform(-1, 1, (global_batch, hw, hw, 3)).astype(np.float32),
         in_sharding,
     )
     r = None
-    for _ in range(WARMUP):
+    for _ in range(warmup):
         r = eval_fn(state.g_params, state.g_extra, x)
     _ = np.asarray(r[0, :1, :1, 0])  # pays the one-time fetch handshake
 
     t0 = time.perf_counter()
-    for _ in range(ITERS):
+    for _ in range(iters):
         r = eval_fn(state.g_params, state.g_extra, x)
     _ = np.asarray(r[0, :1, :1, 0])  # force completion of the chain
     dt = time.perf_counter() - t0
-    ips_total = global_batch * ITERS / dt
+    ips_total = global_batch * iters / dt
     ips = ips_total / n_dev
 
     out = {

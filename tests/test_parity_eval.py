@@ -82,3 +82,57 @@ def test_parity_eval_end_to_end(tmp_path):
     assert report2["parity"]["psnr"]["pass"] is True
     assert report2["parity"]["ssim"]["pass"] is False  # random init != GT
     assert report2["parity_pass"] is False
+
+
+@pytest.mark.slow
+def test_parity_eval_production_fast_paths(tmp_path):
+    """VERDICT r2 #7: the parity harness must certify the paths users
+    actually run.  Runs the SAME reference-schema .pth at 512px (the
+    reference test resolution) through the packed default, the int8
+    quantized path, and the forced H-strip executor; every mode's disk-
+    protocol PSNR must gate against the packed run (the executors are exact
+    or near-lossless by design, so converted-weight parity carries over)."""
+    from tests.test_convert import _dis_state_dict, _gen_state_dict
+    from uegan_tpu.config import Config
+    from uegan_tpu.tools import parity_eval
+
+    test_dir = _tiny_dataset(tmp_path, n=2, hw=512)
+    cfg_defaults = Config()
+    pth = tmp_path / "UEGAN-FiveK_rahinge_92.pth"
+    torch.save({
+        "G_net": _gen_state_dict(cfg_defaults.g_conv_dim),
+        "D_net": _dis_state_dict(cfg_defaults.d_conv_dim),
+        "epoch": 92.0,
+        "g_optimizer": {}, "d_optimizer": {},
+        "lr_scheduler_g": {}, "lr_scheduler_d": {},
+    }, str(pth))
+
+    base = [
+        "--uegan_pth", str(pth),
+        "--test_img_dir", str(test_dir),
+        "--test_label_dir", str(test_dir / "label") + os.sep,
+        "--img_size", "512", "--batch", "2", "--num_workers", "1",
+        "--compute_dtype", "float32",
+        "--report", str(tmp_path / "parity.json"),
+    ]
+    packed = parity_eval.main(base + ["--work_dir", str(tmp_path / "w_packed")])
+    assert packed["protocol"]["fast_path"]["quantized_inference"] is None
+    ref_psnr = packed["metrics"]["psnr"]
+    assert np.isfinite(ref_psnr)
+
+    # exact H-strip executor (test-enforced equal to the packed forward):
+    # digit-level agreement through the 8-bit disk protocol
+    strips = parity_eval.main(base + [
+        "--work_dir", str(tmp_path / "w_strips"), "--strip_rows", "64",
+        "--expected_psnr", f"{ref_psnr:.6f}", "--tolerance", "0.001",
+    ])
+    assert strips["protocol"]["fast_path"]["strip_rows"] == 64
+    assert strips["parity"]["psnr"]["pass"] is True, strips["parity"]
+
+    # int8 is deliberately lossy (~45 dB vs bf16) — gate at 1%
+    int8 = parity_eval.main(base + [
+        "--work_dir", str(tmp_path / "w_int8"), "--quantized_inference", "int8",
+        "--expected_psnr", f"{ref_psnr:.6f}", "--tolerance", "0.01",
+    ])
+    assert int8["protocol"]["fast_path"]["quantized_inference"] == "int8"
+    assert int8["parity"]["psnr"]["pass"] is True, int8["parity"]

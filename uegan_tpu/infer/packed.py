@@ -620,10 +620,17 @@ def gam_norm_eval(x: Array, gp: Dict, dt) -> Array:
 # - up4 commute ON: conv1x1 (64->32ch at half-res) then the phase-split
 #   packed resize measured 592 vs 573 img/s — it kills the fused 4-operand
 #   einsum's two 2.15GB transpose copies (HLO copy.91/92, ~27ms/step).
-_COMMUTE_UP_INTERIOR = False  # conv1x1 before the x2 resize in up1..up3
-_COMMUTE_UP4 = True           # same for up4 (vs the fused packed einsum)
-_PALLAS_BOUNDARIES = False    # fused s2d/tail kernels (ops/pallas/s2d_fuse)
-_PALLAS_RESIZE = False        # fused interior x2 resize (ops/pallas/resize2x)
+def _flag(name: str, default: bool) -> bool:
+    import os
+
+    v = os.environ.get(name)
+    return default if v is None else v not in ("0", "false", "False", "")
+
+
+_COMMUTE_UP_INTERIOR = _flag("UEGAN_COMMUTE_UP_INTERIOR", False)  # conv1x1 before the x2 resize in up1..up3
+_COMMUTE_UP4 = _flag("UEGAN_COMMUTE_UP4", True)  # same for up4 (vs the fused packed einsum)
+_PALLAS_BOUNDARIES = _flag("UEGAN_PALLAS_BOUNDARIES", False)  # fused s2d/tail kernels (ops/pallas/s2d_fuse)
+_PALLAS_RESIZE = _flag("UEGAN_PALLAS_RESIZE", False)  # fused interior x2 resize (ops/pallas/resize2x)
 
 _PACK_PADS = {
     "enc1": (7, 3),
@@ -873,7 +880,11 @@ def make_packed_eval(bundle, packed: Dict[str, np.ndarray] = None):
             # INFERENCE variant: 1x1 conv first (64->32ch at half-res), then
             # the phase-split packed resize on the narrowed tensor.
             up4k = p["upsample4"]["kernel"][0, 0].astype(dt)
-            z4 = jnp.einsum("nhwc,cq->nhwq", y3.astype(dt), up4k)
+            z4 = jnp.einsum(
+                "nhwc,cq->nhwq", y3.astype(dt), up4k,
+                precision=lax.Precision.HIGHEST if dt == jnp.float32
+                else lax.Precision.DEFAULT,
+            )
             z4 = z4 + p["upsample4"]["bias"].astype(dt)
             up4 = packed_resize2x(z4, (h4, w4))
         elif packed is not None:

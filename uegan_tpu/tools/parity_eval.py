@@ -77,6 +77,13 @@ def build_report(args) -> dict:
         use_tensorboard=False,
         num_workers=args.num_workers,
         compute_dtype=args.compute_dtype,
+        # production fast-path selection (VERDICT r2 #7): the parity report
+        # must certify the path users actually run — the packed forward is
+        # the 512px default; ``--quantized_inference int8`` and
+        # ``--strip_rows`` force the opt-in fast paths through the same
+        # converted weights + disk metrics
+        quantized_inference=args.quantized_inference,
+        strip_rows=args.strip_rows,
     )
 
     # stage the published .pth where the Tester's epoch-checkpoint loader
@@ -112,6 +119,11 @@ def build_report(args) -> dict:
             "border_crop_px": 4,
             "disk_protocol": True,
             "legacy_average": bool(args.legacy_metrics),
+            "fast_path": {
+                "compute_dtype": args.compute_dtype,
+                "quantized_inference": args.quantized_inference or None,
+                "strip_rows": args.strip_rows,
+            },
             "reference": "tester.py:41-103 (epoch-92 flow), CalcPSNR.py, "
                          "CalcSSIM.py, CalcNIMA.py",
         },
@@ -162,6 +174,11 @@ def main(argv=None) -> dict:
     ap.add_argument("--work_dir", default="/tmp/uegan_parity_eval")
     ap.add_argument("--report", default="parity_report.json")
     ap.add_argument("--platform", default="", help="e.g. cpu to force the CPU backend")
+    ap.add_argument("--quantized_inference", default="",
+                    help='"int8" / "int8_pallas": certify the quantized fast path')
+    ap.add_argument("--strip_rows", default=0, type=int,
+                    help=">0 forces the exact H-strip executor (huge-image path); "
+                         "0 = auto (strips at >=2048px), -1 = off")
     ap.add_argument("--legacy_metrics", action="store_true",
                     help="reproduce the reference's /(N-1) averaging for digit parity")
     ap.add_argument("--expected_psnr", type=float, default=None)

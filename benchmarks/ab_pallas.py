@@ -150,17 +150,26 @@ def e2e(batch: int, hw: int, iters: int, combos: str) -> None:
         dev,
     )
 
-    names = {"base": (False, False), "bound": (True, False),
-             "resize": (False, True), "both": (True, True)}
+    ALL = frozenset({"upsample1", "upsample2", "upsample3"})
+    names = {
+        "base": (False, frozenset()),
+        "bound": (True, frozenset()),
+        "up1": (False, frozenset({"upsample1"})),
+        "up3": (False, frozenset({"upsample3"})),
+        "up13": (False, frozenset({"upsample1", "upsample3"})),
+        "resize": (False, ALL),
+        "both": (True, ALL),
+    }
     results = {}
+    saved = (pm._PALLAS_BOUNDARIES, pm._PALLAS_RESIZE)
     for name in combos.split(","):
         pm._PALLAS_BOUNDARIES, pm._PALLAS_RESIZE = names[name]
         fn = jax.jit(pm.make_packed_eval(bundle, packed))
         dt = _time(lambda t: fn(state.g_params, t), (x,), iters)
         results[name] = batch / dt
-        print(f"e2e {name:7s} (bound={names[name][0]}, resize={names[name][1]}): "
+        print(f"e2e {name:7s} (bound={names[name][0]}, resize={sorted(names[name][1])}): "
               f"{batch / dt:6.1f} img/s ({dt * 1e3:.1f} ms)")
-    pm._PALLAS_BOUNDARIES = pm._PALLAS_RESIZE = False
+    pm._PALLAS_BOUNDARIES, pm._PALLAS_RESIZE = saved
     best = max(results, key=results.get)
     print(f"best: {best} ({results[best]:.1f} img/s)")
 

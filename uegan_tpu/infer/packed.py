@@ -518,9 +518,39 @@ def compose_dec5_kernels(
     return out, bias
 
 
+def compose_dec5_deep_kernel(pk9: np.ndarray) -> np.ndarray:
+    """Re-express the packed composed head as a STRIDE-2 conv: (5,5,4C,12)
+    stride-1 on the packed tensor -> (6,6,4C,48) stride-2 emitting the
+    4x-packed output (deep pixel = 2x2 packed pixels = 4x4 original).
+
+    Why: the composed head's Cout=12 fills 12/128 MXU output lanes, so the
+    (5,5,128,12) conv runs at the 128-lane cost — 34.6 ms at 512px B=128
+    where its true FLOPs need ~3.3 ms.  The stride-2 form does 36/25 more
+    tap-FLOPs but amortizes the lane padding over 4 output pixels:
+    MXU-effective work drops 25*128 -> 36*128/4 per output pixel (2.8x).
+
+    Derivation: deep output (i,j,P=(di,dj),oc) = packed_out[2i+di, 2j+dj, oc]
+    = sum_{si,sj} pk9[si,sj,:,oc] . zpad[2i+di+si, 2j+dj+sj] with zpad the
+    (S0=2)-padded input, so K6[di+si, dj+sj, :, P*12+oc] += pk9[si,sj,:,oc]
+    and the stride-2 VALID conv over the same zpad reproduces it exactly
+    (up to f32 summation order).  Output channel layout [P, p, rgb] is the
+    two-level phase-major s2d convention, so one :func:`depth_to_space`
+    returns the ordinary packed (N,Hp,Wp,12) head output.
+    """
+    S, _, cin4, cout = pk9.shape
+    k6 = np.zeros((S + 1, S + 1, cin4, 4 * cout), pk9.dtype)
+    for di in (0, 1):
+        for dj in (0, 1):
+            P = di * 2 + dj
+            k6[di : di + S, dj : dj + S, :, P * cout : (P + 1) * cout] += pk9
+    return k6
+
+
 # packed rows to overwrite with sequential values (covers the 3-original-
-# pixel band where composed-reflect != sequential-reflect), and the slab
-# depth whose fake-edge contamination stays outside the kept band
+# pixel band where composed-reflect != sequential-reflect; also covers the
+# deep stride-2 conv's zero-pad contamination, which reaches exactly
+# S0=2 packed rows), and the slab depth whose fake-edge contamination
+# stays outside the kept band
 _DEC5_FIX = 2
 _DEC5_SLAB = 6
 
@@ -630,7 +660,30 @@ def _flag(name: str, default: bool) -> bool:
 _COMMUTE_UP_INTERIOR = _flag("UEGAN_COMMUTE_UP_INTERIOR", False)  # conv1x1 before the x2 resize in up1..up3
 _COMMUTE_UP4 = _flag("UEGAN_COMMUTE_UP4", True)  # same for up4 (vs the fused packed einsum)
 _PALLAS_BOUNDARIES = _flag("UEGAN_PALLAS_BOUNDARIES", False)  # fused s2d/tail kernels (ops/pallas/s2d_fuse)
-_PALLAS_RESIZE = _flag("UEGAN_PALLAS_RESIZE", False)  # fused interior x2 resize (ops/pallas/resize2x)
+
+
+def _stage_set(name: str, default: frozenset) -> frozenset:
+    """Env override for a per-stage flag: '0'/'' -> none, '1'/'all' -> all
+    three interior up stages, else a comma list like 'upsample1,upsample3'."""
+    import os
+
+    v = os.environ.get(name)
+    if v is None:
+        return default
+    if v in ("0", "false", "False", ""):
+        return frozenset()
+    if v in ("1", "true", "True", "all"):
+        return frozenset({"upsample1", "upsample2", "upsample3"})
+    return frozenset(s.strip() for s in v.split(",") if s.strip())
+
+
+# Pallas fused x2 resize (ops/pallas/resize2x) per interior up stage.
+# RETIRED (r3, measured): standalone micro wins at up1 (8.4 vs 12.0 ms) and
+# up3 (10.2 vs 11.6) but EVERY in-graph variant loses e2e (base 581.0 img/s
+# vs up1 572.1 / up3 575.0 / up1+up3 560.9 / all 551.3 at 512px B=128) —
+# the custom-call boundary forces default-layout copies, same class as
+# int8_pallas.  Default empty; env hook kept for re-measurement.
+_PALLAS_RESIZE = _stage_set("UEGAN_PALLAS_RESIZE", frozenset())
 
 _PACK_PADS = {
     "enc1": (7, 3),
@@ -823,7 +876,7 @@ def make_packed_eval(bundle, packed: Dict[str, np.ndarray] = None):
         # the conv_general form — the 1x1 staying a CONVOLUTION op is what
         # lets XLA's conv layout assignment avoid extra copies.
         def up_stage(name, feat, t):
-            if dead_se and _PALLAS_RESIZE:
+            if dead_se and name in _PALLAS_RESIZE:
                 from uegan_tpu.ops.pallas.resize2x import eligible as _rs_ok
                 from uegan_tpu.ops.pallas.resize2x import upsample2x_ac_pallas
 

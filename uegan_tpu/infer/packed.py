@@ -317,7 +317,7 @@ def packed_reflect_pad(x: Array, pad: int, c: int, axes=(1, 2)) -> Array:
 # ---------------------------------------------------------------------------
 def packed_conv(
     xp: Array, kp: Array, s0: int, c_in, bias: Array = None, dtype=jnp.bfloat16,
-    h_fixups: bool = True,
+    h_fixups: bool = True, act=None,
 ) -> Array:
     """Conv of a packed tensor with a packed kernel, original-reflect padding
     applied in the packed domain.  ``c_in`` is the ORIGINAL channel count
@@ -334,7 +334,14 @@ def packed_conv(
     ``h_fixups=False`` skips the H-border fix-ups (and the corner rows of
     the W fix-ups): for the strip executor's slab tensors the H edges are
     discarded margin, and the fix-up machinery (W-pad transposes of the
-    border slabs + tiny DMA copies) measured ~20%% of the 2048px step."""
+    border slabs + tiny DMA copies) measured ~20%% of the 2048px step.
+
+    ``act`` (elementwise, e.g. :func:`leaky`): applied with the bias INSIDE
+    each conv (main body and border strips) rather than by the caller after
+    the border DUS.  Pointwise ops commute with the DUS exactly, so the
+    values are identical — but fused as a conv epilogue the activation
+    stops being a separate full-tensor read+write pass (the 512px B=128
+    trace showed leaky(enc1) alone as a 6.4 ms pass)."""
     from uegan_tpu.ops import conv as _convmod
 
     S = kp.shape[0]
@@ -344,8 +351,20 @@ def packed_conv(
     f32 = dtype == jnp.float32
     int8 = dtype == jnp.int8  # int8 operands, int32 accumulator output
 
+    def _post(t):
+        if bias is not None:
+            cout = bias.shape[0]
+            if t.shape[-1] == 4 * cout:  # packed output: bias per phase group
+                b = jnp.tile(bias.astype(t.dtype), 4)
+            else:
+                b = bias.astype(t.dtype)
+            t = t + b
+        if act is not None:
+            t = act(t)
+        return t
+
     def conv_valid(t, padding="VALID"):
-        return lax.conv_general_dilated(
+        return _post(lax.conv_general_dilated(
             t.astype(dtype),
             kp.astype(dtype),
             window_strides=(1, 1),
@@ -353,7 +372,7 @@ def packed_conv(
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=jnp.float32 if f32 else (jnp.int32 if int8 else None),
             precision=lax.Precision.HIGHEST if f32 else lax.Precision.DEFAULT,
-        )
+        ))
 
     m = max(s0 + s1, p + 1)  # slab depth: enough rows for pad construction
     if p == 0:
@@ -392,13 +411,6 @@ def packed_conv(
         xpad = packed_reflect_pad(xp, p, c_in)
         r0 = p - s0
         y = conv_valid(xpad[:, r0 : r0 + lp + s0 + s1, r0 : r0 + wp + s0 + s1, :])
-    if bias is not None:
-        cout = bias.shape[0]
-        if y.shape[-1] == 4 * cout:  # packed output: bias per phase group
-            b = jnp.tile(bias.astype(y.dtype), 4)
-        else:
-            b = bias.astype(y.dtype)
-        y = y + b
     return y if int8 else y.astype(dtype)
 
 
@@ -427,6 +439,51 @@ def packed_resize2x_align_corners(x: Array, out_hw: Tuple[int, int]) -> Array:
     mwp = jnp.asarray(mw.reshape(ow // 2, 2, w).transpose(1, 0, 2), x.dtype)  # (2, ow/2, w)
     y = jnp.einsum("eoh,fpw,nhwc->nopefc", mhp, mwp, x, precision=prec)
     return y.reshape(n, oh // 2, ow // 2, 4 * c)  # phase-major: (e*2+f)*C + c
+
+
+def packed_resize2x_shift(x: Array, out_hw: Tuple[int, int]) -> Array:
+    """:func:`packed_resize2x_align_corners` as shifted-slice lerps — no
+    interpolation-matrix einsums, no 6-d phase transpose.
+
+    For out = 2*in align-corners the interpolation matrix is 2-tap banded
+    with weights LINEAR in the row index (src(2i) = i - i/(2h-1), so phase
+    e=0 mixes x[i-1], x[i] with ramp weight i/(2h-1); e=1 mixes x[i],
+    x[i+1] with (h-1-i)/(2h-1); same along W).  Each packed output phase is
+    therefore a row/col-ramp-weighted sum of four +-1-shifted copies of x —
+    one elementwise pass, where the einsum form was staged by XLA as two
+    dot products plus ~19 ms/step of layout copies at the up4 shape
+    (copy.185/191/192 in the 512px B=128 trace).  Same weights as the
+    matrix form; f32 arithmetic, summation order differs only in the
+    separable factoring (tolerance class of the existing fusions).  Shift
+    operands at the borders are clamped copies carrying exactly-zero
+    weight (finite, never read into the result)."""
+    n, h, w, c = x.shape
+    assert out_hw == (2 * h, 2 * w), (out_hw, x.shape)
+    f32 = jnp.float32
+    ih = jnp.arange(h, dtype=f32)[None, :, None, None]
+    iw = jnp.arange(w, dtype=f32)[None, None, :, None]
+    hterm = {0: (ih / (2 * h - 1), -1), 1: ((h - 1 - ih) / (2 * h - 1), +1)}
+    wterm = {0: (iw / (2 * w - 1), -1), 1: ((w - 1 - iw) / (2 * w - 1), +1)}
+    xf = x.astype(f32)
+
+    def sh(t: Array, axis: int, d: int) -> Array:
+        lead = (slice(None),) * axis
+        if d == -1:
+            return jnp.concatenate([t[lead + (slice(0, 1),)],
+                                    t[lead + (slice(0, -1),)]], axis)
+        return jnp.concatenate([t[lead + (slice(1, None),)],
+                                t[lead + (slice(-1, None),)]], axis)
+
+    phases = []
+    for e in (0, 1):
+        we, de = hterm[e]
+        xe = sh(xf, 1, de)
+        for f in (0, 1):
+            wf, df = wterm[f]
+            p = (we * wf) * sh(xe, 2, df) + (we * (1 - wf)) * xe \
+                + ((1 - we) * wf) * sh(xf, 2, df) + ((1 - we) * (1 - wf)) * xf
+            phases.append(p)
+    return jnp.concatenate(phases, axis=-1).astype(x.dtype)
 
 
 def packed_resize2x_conv1x1(
@@ -558,24 +615,44 @@ _DEC5_SLAB = 6
 def packed_dec5_head(
     z: Array, pk9: Array, s0_9: int, b9: Array,
     pk0: Array, s0_0: int, b0: Array, pk1: Array, s0_1: int, b1: Array,
-    cd: int, dt,
+    cd: int, dt, k6: Array = None, act=None,
 ) -> Array:
     """Composed dec5 head on the packed modulated tensor z = y4p * x1p,
     exact: interior from the composed 9x9 conv, the border band from the
     sequential two-conv chain on narrow slabs (full-height column slabs and
     full-width row slabs carry real reflect on their outer edges, so the
     strips — corners included — equal the canonical sequential values;
-    fake interior-facing slab edges only contaminate discarded margin)."""
-    y = packed_conv(z, pk9, s0_9, cd, b9, dt)
+    fake interior-facing slab edges only contaminate discarded margin).
+
+    ``k6`` (when given and the packed dims are even): the stride-2 deep
+    form of the composed kernel (:func:`compose_dec5_deep_kernel`) — same
+    values up to f32 summation order, 2.8x less MXU-lane-padded work.  Its
+    zero-pad contamination reaches exactly the ``_DEC5_FIX`` band the
+    sequential strips overwrite anyway, so no reflect fix-ups are needed."""
     r, L = _DEC5_FIX, _DEC5_SLAB
     lp, wp = z.shape[1], z.shape[2]
     if lp <= L + r or wp <= L + r:  # tiny inputs: sequential everywhere
         h = packed_conv(z, pk0, s0_0, cd, b0, dt)
-        return packed_conv(h, pk1, s0_1, cd, b1, dt)
+        return packed_conv(h, pk1, s0_1, cd, b1, dt, act=act)
+    if k6 is not None and lp % 2 == 0 and wp % 2 == 0:
+        f32 = dt == jnp.float32
+        yd = lax.conv_general_dilated(
+            z.astype(dt), jnp.asarray(k6).astype(dt),
+            window_strides=(2, 2), padding=((2, 2), (2, 2)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32 if f32 else None,
+            precision=lax.Precision.HIGHEST if f32 else lax.Precision.DEFAULT,
+        )
+        yd = yd + jnp.tile(b9.astype(yd.dtype), 16)
+        if act is not None:  # pointwise commutes with d2s: conv epilogue
+            yd = act(yd)
+        y = depth_to_space(yd.astype(dt))  # (N, lp, wp, 12)
+    else:
+        y = packed_conv(z, pk9, s0_9, cd, b9, dt, act=act)
 
     def seq(slab: Array) -> Array:
         h = packed_conv(slab, pk0, s0_0, cd, b0, dt)
-        return packed_conv(h, pk1, s0_1, cd, b1, dt)
+        return packed_conv(h, pk1, s0_1, cd, b1, dt, act=act)
 
     # full-height W strips first (exact incl. corners), then full-width H
     # strips (also exact incl. corners — identical values where they overlap)
@@ -610,6 +687,14 @@ def packed_instance_norm(xp: Array, c: int, eps: float = 1e-5) -> Array:
     return y.reshape(n, hp, wp, 4 * c).astype(xp.dtype)
 
 
+# Measured SLOWER and removed (r3): Gram-matmul GAM-IN moments.  For
+# y = conv1x1(x) the IN moments of y are exact functions of x's moments
+# (mu_q = m_c K[c,q]; E[y_q^2] = K_q^T S K_q with S the phase-averaged
+# second-moment matrix), so one (4C,4C) Gram matmul could replace the
+# full-tensor reduce and make the norm a conv epilogue.  Implemented and
+# e2e-exact (bf16 output bit-identical), but the extra pass over the conv
+# INPUT costs more than the saved reduce on this stack: 512px B=128 base
+# 608.3 img/s vs ga1-only 588.4 / ga1+ga2 578.7 / all sites 576.4.
 def gam_norm_eval(x: Array, gp: Dict, dt) -> Array:
     """GAM with norm=True at inference: ``IN(conv1x1(x, W_x))`` exactly.
 
@@ -677,6 +762,14 @@ def _stage_set(name: str, default: frozenset) -> frozenset:
     return frozenset(s.strip() for s in v.split(",") if s.strip())
 
 
+# Shift-ramp up4 resize (packed_resize2x_shift) instead of the
+# interpolation-matrix einsum.  Measured SLOWER (r3): 485.7 vs 611.2 img/s
+# at 512px B=128 with bit-identical bf16 output — the 12 shifted-slice
+# reads of the lane-padded C=32 tensor cost more than the einsum staging's
+# ~19 ms of layout copies.  OFF; kept for re-measurement.
+_SHIFT_RESIZE = _flag("UEGAN_SHIFT_RESIZE", False)
+
+
 # Pallas fused x2 resize (ops/pallas/resize2x) per interior up stage.
 # RETIRED (r3, measured): standalone micro wins at up1 (8.4 vs 12.0 ms) and
 # up3 (10.2 vs 11.6) but EVERY in-graph variant loses e2e (base 581.0 img/s
@@ -741,6 +834,9 @@ def pack_generator_params(params: Dict, conv_dim: int) -> Dict[str, np.ndarray]:
     )
     packed["dec5c_k"], packed["dec5c_s0"] = pack_kernel_s1(k9, 4)
     packed["dec5c_b"] = b9
+    # stride-2 deep form of the composed head (full MXU lanes; see
+    # compose_dec5_deep_kernel) — used when the packed dims are even
+    packed["dec5d_k"] = compose_dec5_deep_kernel(packed["dec5c_k"])
     return packed
 
 
@@ -857,8 +953,10 @@ def make_packed_eval(bundle, packed: Dict[str, np.ndarray] = None):
             xp = s2d_convert(x)  # fused convert + s2d, one pass
         else:
             xp = space_to_depth(x.astype(dt))  # (N,H/2,W/2,12)
-        x1p = leaky(packed_conv(xp, pk["enc1_k"], enc1_s0, 3, p["enc1"]["conv"]["bias"], dt))
-        x2 = leaky(packed_conv(x1p, pk["enc2_k"], enc2_s0, cd, p["enc2"]["conv"]["bias"], dt))
+        x1p = packed_conv(xp, pk["enc1_k"], enc1_s0, 3,
+                          p["enc1"]["conv"]["bias"], dt, act=leaky)
+        x2 = packed_conv(x1p, pk["enc2_k"], enc2_s0, cd,
+                         p["enc2"]["conv"]["bias"], dt, act=leaky)
 
         # interior at <=256^2: canonical modules on the canonical params
         x3 = block(cd * 4, 3, 2, "enc3").apply({"params": p["enc3"]}, x2, False, False)
@@ -939,7 +1037,10 @@ def make_packed_eval(bundle, packed: Dict[str, np.ndarray] = None):
                 else lax.Precision.DEFAULT,
             )
             z4 = z4 + p["upsample4"]["bias"].astype(dt)
-            up4 = packed_resize2x(z4, (h4, w4))
+            if _SHIFT_RESIZE and (h4, w4) == (2 * z4.shape[1], 2 * z4.shape[2]):
+                up4 = packed_resize2x_shift(z4, (h4, w4))
+            else:
+                up4 = packed_resize2x(z4, (h4, w4))
         elif packed is not None:
             # INFERENCE: resize and the 1x1 conv fused into one einsum —
             # kills the conv's full-size read/write and the packed-layout
@@ -962,21 +1063,22 @@ def make_packed_eval(bundle, packed: Dict[str, np.ndarray] = None):
         # concat + its 12.8 ms layout copy) measured EQUAL within noise
         # (465-466 vs 461-470 img/s): the saved copy is offset by the second
         # conv output write and doubled border strips.  Kept fused.
-        y4p = leaky(packed_conv(
+        y4p = packed_conv(
             jnp.concatenate([up4, ga1p], -1), pk["dec4_k"],
-            dec4_s0, [cd, cd], p["dec4"]["conv"]["bias"], dt,
-        ))
+            dec4_s0, [cd, cd], p["dec4"]["conv"]["bias"], dt, act=leaky,
+        )
 
         z = y4p * x1p
         if packed is not None:
             # INFERENCE: composed 9x9 head (one conv + sequential border
             # strips; exact up to f32 summation order — see
             # compose_dec5_kernels / packed_dec5_head)
-            res = jnp.tanh(packed_dec5_head(
+            res = packed_dec5_head(
                 z, pk["dec5c_k"], pk["dec5c_s0"], jnp.asarray(pk["dec5c_b"]),
                 pk["dec5_0_k"], dec5_0_s0, p["dec5_0"]["bias"],
                 pk["dec5_1_k"], dec5_1_s0, p["dec5_1"]["bias"], cd, dt,
-            ))
+                k6=pk.get("dec5d_k"), act=jnp.tanh,
+            )
         else:
             # TRAINING (traced packing): keep the sequential head — the
             # composed kernel's different f32 summation order would move

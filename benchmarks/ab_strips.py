@@ -10,6 +10,7 @@ Prints one img/s line per invocation (3 timed iters after 2 warmups).
 import os, time, sys
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax, numpy as np
 import jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_uegan")
@@ -32,7 +33,7 @@ state, bundle = create_train_state(cfg, jax.random.PRNGKey(0), (HW, HW), steps_p
 dev = jax.devices()[0]
 g_params = jax.device_put(state.g_params, dev)
 pk = pack_generator_params(jax.device_get(state.g_params), cfg.g_conv_dim)
-r = pick_strip_rows(HW // 2, B)
+r = int(sys.argv[5]) if len(sys.argv) > 5 else pick_strip_rows(HW // 2, B)
 x = jax.device_put(np.random.default_rng(0).uniform(-1, 1, (B, HW, HW, 3)).astype(np.float32), dev)
 f = jax.jit(make_strip_eval(bundle, pk, r, chunks))
 out = None

@@ -144,6 +144,20 @@ class Config:
     # test-enforced against the sequential path.  Identical math when
     # d_use_sn=False (bit-level, test-enforced).  Batch/Instance-norm Ds keep
     # sequential forwards regardless (running stats would deviate).
+    split_percep_label: bool = True  # run the perceptual loss's label
+    # branch (real_raw) as its own stop-gradiented VGG call instead of one
+    # batched call over concat([fake, raw]).  Per-sample math identical;
+    # the split halves the VGG backward input-grad work (the label half of
+    # the batched backward carries no gradients).  Measured (ab_train, r3):
+    # 256px b10 11.14 -> 11.68 steps/s; 512px b2 remat 8.18 -> 8.32.
+    split_g_adv: bool = True  # in the G update, run D(exp) and D(fake) as
+    # two sequential forwards instead of one fused 2x-batch forward: the
+    # exp half of the fused backward is dead work (no gradient path from
+    # img_exp to G), so the split halves the D backward in the G phase.
+    # Sequential == fused SN semantics (see fused_d); value-level equality
+    # to float tolerance (conv(x, W/s) vs conv(x, W)/s).  Measured (r3):
+    # neutral at 256px b10 (11.11 vs 11.14 — D bwd is small there), +1%
+    # at 512px b2 remat; with split_percep_label 8.18 -> 8.48 steps/s.
     packed_train: bool = True  # run the G forward in the train step packed
     # (kernels packed from the live params at trace time, differentiable;
     # +30% steps/s measured.  Same math as canonical to float tolerance but

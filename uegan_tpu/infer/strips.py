@@ -410,17 +410,17 @@ def make_strip_eval(bundle, packed: Dict[str, np.ndarray], strip_rows: int,
 
         # ---- entry strips: enc1, enc2, enc3 (the full-height convs) ----
         xs = _slabs(xp, s, r, E, packed_c=3)
-        x1s = leaky(packed_conv(xs, pk["enc1_k"], s0s["enc1_s0"], 3,
-                                p["enc1"]["conv"]["bias"], dt,
-                                h_fixups=False))                    # valid halo E-2
+        x1s = packed_conv(xs, pk["enc1_k"], s0s["enc1_s0"], 3,
+                          p["enc1"]["conv"]["bias"], dt,
+                          h_fixups=False, act=leaky)               # valid halo E-2
         # conv does not commute with the input's mirror extension, so the
         # border slabs' halo rows now hold extended-domain values; re-reflect
         # them from the real rows so every later consumer (enc2/enc3 and the
         # exit chain's x1/x2 slices) sees the canonical per-layer reflect pad
         x1s = _refix_outer_slab_halos(x1s, n, s, E, c=cd)
-        x2s = leaky(packed_conv(x1s, pk["enc2_k"], s0s["enc2_s0"], cd,
-                                p["enc2"]["conv"]["bias"], dt,
-                                h_fixups=False))                    # valid halo E-3
+        x2s = packed_conv(x1s, pk["enc2_k"], s0s["enc2_s0"], cd,
+                          p["enc2"]["conv"]["bias"], dt,
+                          h_fixups=False, act=leaky)               # valid halo E-3
         x2s = _refix_outer_slab_halos(x2s, n, s, E)
         with skip_h_borders():
             x3s = block(cd * 4, 3, 2).apply({"params": p["enc3"]}, x2s, False, False)
@@ -498,6 +498,98 @@ def make_strip_eval(bundle, packed: Dict[str, np.ndarray], strip_rows: int,
             return ((ts.astype(jnp.float32) - bcast(gmean)) * bcast(gscale)
                     ).astype(ts.dtype)
 
+        def dec5_band(zedge: Array, top: bool) -> Array:
+            """Canonical sequential dec5 values for the image-border band
+            (``_DEC5_FIX`` = 2 packed rows) of a border slab.
+
+            The composed head differs from the sequential chain only where
+            the sequential semantics reflect-pad the INTERMEDIATE h at the
+            image edge (3 original pixels = 2 packed rows).  Recompute just
+            that band sequentially on a narrow (m+6)-row slab: dec5_0, then
+            the intermediate's rows beyond the image edge rebuilt as the
+            packed reflect of its real rows (exactly the per-layer pad the
+            canonical model applies — the narrow-slab analog of
+            ``_refix_exit_halos``), then dec5_1.  The kept band rows are
+            >= p from every slab H edge, so no conv edge effects reach them
+            and packed_conv's W fix-ups still give real W reflect."""
+            if top:
+                zb = zedge[:, : m + 6]
+                hb = packed_conv(zb, pk["dec5_0_k"], s0s["dec5_0_s0"], cd,
+                                 p["dec5_0"]["bias"], dt, h_fixups=False)
+                tpad, _ = _packed_pad_rows_top_bot(hb[:, m:], 2, cd)
+                hband = jnp.concatenate([tpad, hb[:, m : m + 4]], axis=1)
+            else:
+                zb = zedge[:, -(m + 6):]
+                hb = packed_conv(zb, pk["dec5_0_k"], s0s["dec5_0_s0"], cd,
+                                 p["dec5_0"]["bias"], dt, h_fixups=False)
+                _, bpad = _packed_pad_rows_top_bot(hb[:, :6], 2, cd)
+                hband = jnp.concatenate([hb[:, 2:6], bpad], axis=1)
+            band = packed_conv(hband, pk["dec5_1_k"], s0s["dec5_1_s0"], cd,
+                               p["dec5_1"]["bias"], dt, h_fixups=False,
+                               act=jnp.tanh)
+            return band[:, 2:4]
+
+        def strip_dec5(zs_: Array, sc: int, strip_ids: Array) -> Array:
+            """Composed dec5 head on the strip slabs (slab analog of
+            packed.packed_dec5_head; extends its 531->563 img/s full-image
+            win to the strip exit chain, VERDICT r2 #1).
+
+            Interior from the composed kernel (stride-2 deep form when the
+            slab dims are even); real W borders from sequential column
+            slabs (W is never cut, so those are true image borders); the
+            image's top/bottom ``_DEC5_FIX`` band — the only rows where
+            composed-reflect != sequential-reflect — from
+            :func:`dec5_band`, masked to the slabs whose global strip index
+            is first/last (ids may be traced in the chunked path).  Slab H
+            edges contaminate only the discarded margin (m=6 covers the
+            composed reach 2 + the deep form's zero-pad reach 2)."""
+            hs_, wp_ = zs_.shape[1], zs_.shape[2]
+            FIXB, LW = 2, 6  # packed._DEC5_FIX / _DEC5_SLAB
+            if hs_ < 2 * (m + 6) or wp_ <= LW + FIXB:
+                # tiny slabs: the sequential chain with per-conv halo refix
+                h5s = packed_conv(zs_, pk["dec5_0_k"], s0s["dec5_0_s0"], cd,
+                                  p["dec5_0"]["bias"], dt, h_fixups=False)
+                h5s = _refix_exit_halos(h5s, n, strip_ids, s, m, cd)
+                return packed_conv(h5s, pk["dec5_1_k"], s0s["dec5_1_s0"], cd,
+                                   p["dec5_1"]["bias"], dt, h_fixups=False,
+                                   act=jnp.tanh)
+            k6 = pk.get("dec5d_k")
+            b9 = jnp.asarray(pk["dec5c_b"])
+            if k6 is not None and hs_ % 2 == 0 and wp_ % 2 == 0:
+                yd = jax.lax.conv_general_dilated(
+                    zs_.astype(dt), jnp.asarray(k6).astype(dt), (2, 2),
+                    ((2, 2), (2, 2)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.float32 if dt == jnp.float32
+                    else None, precision=prec)
+                yd = jnp.tanh(yd + jnp.tile(b9.astype(yd.dtype), 16))
+                y = depth_to_space(yd.astype(dt))
+            else:
+                y = packed_conv(zs_, pk["dec5c_k"], pk["dec5c_s0"], cd, b9,
+                                dt, h_fixups=False, act=jnp.tanh)
+
+            def seq(slab):
+                h = packed_conv(slab, pk["dec5_0_k"], s0s["dec5_0_s0"], cd,
+                                p["dec5_0"]["bias"], dt, h_fixups=False)
+                return packed_conv(h, pk["dec5_1_k"], s0s["dec5_1_s0"], cd,
+                                   p["dec5_1"]["bias"], dt, h_fixups=False,
+                                   act=jnp.tanh)
+
+            y = y.at[:, :, :FIXB].set(seq(zs_[:, :, :LW])[:, :, :FIXB])
+            y = y.at[:, :, wp_ - FIXB:].set(
+                seq(zs_[:, :, wp_ - LW:])[:, :, LW - FIXB:])
+
+            zr = zs_.reshape(n, sc, hs_, wp_, zs_.shape[-1])
+            yr = y.reshape(n, sc, hs_, wp_, y.shape[-1])
+            topb = dec5_band(zr[:, 0], True)
+            botb = dec5_band(zr[:, -1], False)
+            yr = yr.at[:, 0, m : m + FIXB].set(
+                jnp.where(strip_ids[0] == 0, topb, yr[:, 0, m : m + FIXB]))
+            yr = yr.at[:, -1, hs_ - m - FIXB : hs_ - m].set(
+                jnp.where(strip_ids[-1] == s - 1, botb,
+                          yr[:, -1, hs_ - m - FIXB : hs_ - m]))
+            return yr.reshape(n * sc, hs_, wp_, y.shape[-1])
+
         def exit_strips(x1c, x2c, xc, m3c, y2wc, m4c, sc, strip_ids, norm1,
                         norm2, slab_unpack):
             """dec3..output on ``sc`` strips of every image.
@@ -549,17 +641,14 @@ def make_strip_eval(bundle, packed: Dict[str, np.ndarray], strip_rows: int,
             ga1s = (strip_instance_norm(ga1s, n, s, m, 4, cd) if norm1 is None
                     else apply_in(ga1s, norm1, sc, 4, cd))
 
-            y4s = leaky(packed_conv(
+            y4s = packed_conv(
                 jnp.concatenate([up4s, ga1s], -1), pk["dec4_k"], s0s["dec4_s0"],
-                [cd, cd], p["dec4"]["conv"]["bias"], dt, h_fixups=False))
+                [cd, cd], p["dec4"]["conv"]["bias"], dt, h_fixups=False,
+                act=leaky)
             # dec5_0 reflect-pads its input y4*x1; x1es halos are reflect
             # already, so refixing y4s makes the product's halos reflect too
             y4s = _refix_exit_halos(y4s, n, strip_ids, s, m, cd)
-            h5s = packed_conv(y4s * x1es, pk["dec5_0_k"], s0s["dec5_0_s0"], cd,
-                              p["dec5_0"]["bias"], dt, h_fixups=False)
-            h5s = _refix_exit_halos(h5s, n, strip_ids, s, m, cd)
-            ress = jnp.tanh(packed_conv(h5s, pk["dec5_1_k"], s0s["dec5_1_s0"], cd,
-                                        p["dec5_1"]["bias"], dt, h_fixups=False))
+            ress = strip_dec5(y4s * x1es, sc, strip_ids)
             outs = jnp.clip(ress.astype(jnp.float32)
                             + xc[:, E - m : E + r + m].astype(jnp.float32),
                             -1.0, 1.0)

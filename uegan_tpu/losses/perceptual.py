@@ -68,50 +68,81 @@ def _packed_stage1_features(vgg: VGG19Features, params, xin: Array):
     return h1, pooled
 
 
+def _tap_features(vgg: VGG19Features, vgg_variables, xin: Array, packed: bool):
+    """All perceptual tap features of one (possibly batched) input.
+
+    Returns ``(packed_relu1_1 | None, canonical-tap dict)`` — when
+    ``packed``, relu1_1 stays in the space-to-depth domain (see
+    :func:`_packed_stage1_features`) and is absent from the dict.
+    """
+    if packed:
+        from uegan_tpu.models.vgg import vgg_features_from
+
+        h1p, pooled = _packed_stage1_features(vgg, vgg_variables["params"], xin)
+        f = vgg_features_from(
+            vgg_variables["params"], pooled, vgg.dtype, start_stage=2, pooled_input=True
+        )
+        return h1p, f
+    return None, vgg.apply(vgg_variables, xin)
+
+
 def perceptual_loss(
     vgg: VGG19Features,
     vgg_variables,
     x01: Array,
     y01: Array,
     packed_stage1: bool = True,
+    split_label: bool = False,
 ) -> Array:
     """MSE over instance-normalized VGG taps; x01/y01 in [0,1] NHWC.
 
     Gradients flow through ``x01`` (the generated image); the VGG parameters
     are frozen (callers never differentiate w.r.t. ``vgg_variables``).
+
+    ``split_label``: run the label branch (``y01``) as its own
+    stop-gradiented VGG call instead of one batched call over
+    ``concat([x, y])``.  Per-sample math (convs, instance norms) is
+    identical, but the batched form makes XLA's backward input-grad convs
+    process both halves where only the ``x01`` half carries gradients — the
+    split halves the VGG backward work.
     """
     if x01.shape[-1] != 3:
         x01 = jnp.repeat(x01, 3, axis=-1)
         y01 = jnp.repeat(y01, 3, axis=-1)
-    # one batched VGG call for both inputs (per-sample network: equivalent
-    # to two calls, half the kernel launches)
     b = x01.shape[0]
-    xin = normalize_imagenet(jnp.concatenate([x01, y01], axis=0))
-    loss = jnp.float32(0.0)
-    if (
+    packed = (
         packed_stage1
-        and xin.shape[1] % 2 == 0
-        and xin.shape[2] % 2 == 0
+        and x01.shape[1] % 2 == 0
+        and x01.shape[2] % 2 == 0
         and tuple(vgg.taps) == tuple(PERCEPTUAL_TAPS)
-    ):
-        from uegan_tpu.infer.packed import packed_instance_norm
-        from uegan_tpu.models.vgg import vgg_features_from
-
-        h1p, pooled = _packed_stage1_features(vgg, vgg_variables["params"], xin)
-        fboth = vgg_features_from(
-            vgg_variables["params"], pooled, vgg.dtype, start_stage=2, pooled_input=True
+    )
+    if split_label:
+        hx, fx = _tap_features(vgg, vgg_variables, normalize_imagenet(x01), packed)
+        hy, fy = _tap_features(
+            vgg, vgg_variables,
+            jax.lax.stop_gradient(normalize_imagenet(y01)), packed,
         )
+    else:
+        # one batched VGG call for both inputs (per-sample network:
+        # equivalent to two calls, half the kernel launches)
+        xin = normalize_imagenet(jnp.concatenate([x01, y01], axis=0))
+        hb, fboth = _tap_features(vgg, vgg_variables, xin, packed)
+        hx = hb[:b] if hb is not None else None
+        hy = hb[b:] if hb is not None else None
+        fx = {k: v[:b] for k, v in fboth.items()}
+        fy = {k: v[b:] for k, v in fboth.items()}
+    loss = jnp.float32(0.0)
+    if packed:
+        from uegan_tpu.infer.packed import packed_instance_norm
+
         # relu1_1 term directly in the packed domain (per-original-channel
         # instance norm = per-phase-group stats; MSE is over the same set)
-        a = packed_instance_norm(h1p[:b].astype(jnp.float32), 64)
-        c = packed_instance_norm(h1p[b:].astype(jnp.float32), 64)
+        a = packed_instance_norm(hx.astype(jnp.float32), 64)
+        c = packed_instance_norm(hy.astype(jnp.float32), 64)
         loss = loss + _WEIGHTS["relu1_1"] * jnp.mean((a - c) ** 2)
         taps = [t for t in PERCEPTUAL_TAPS if t != "relu1_1"]
     else:
-        fboth = vgg.apply(vgg_variables, xin)
         taps = list(PERCEPTUAL_TAPS)
-    fx = {k: v[:b] for k, v in fboth.items()}
-    fy = {k: v[b:] for k, v in fboth.items()}
     for tap in taps:
         a = instance_norm(fx[tap].astype(jnp.float32))
         c = instance_norm(fy[tap].astype(jnp.float32))

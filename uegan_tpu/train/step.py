@@ -166,7 +166,7 @@ def make_train_step(bundle: ModelBundle) -> Callable[[TrainState, Dict], Tuple[T
         # ---- 4. G update against updated D (trainer.py:100-118) ----
         def g_losses(fake, idt_out):
             extra = d_extra1
-            if fuse_d:
+            if fuse_d and not cfg.split_g_adv:
                 preds, extra = _apply_with_extra(
                     d_model, d_params1, extra, jnp.concatenate([img_exp, fake], axis=0),
                     train=True, update_sn=True, sn_branches=2,
@@ -184,7 +184,8 @@ def make_train_step(bundle: ModelBundle) -> Callable[[TrainState, Dict], Tuple[T
                 preds_real, preds_fake, mode, for_discriminator=False
             )
             percep = cfg.lambda_percep * perceptual_loss(
-                vgg_model, vgg_vars, (fake + 1.0) / 2.0, (img_raw + 1.0) / 2.0
+                vgg_model, vgg_vars, (fake + 1.0) / 2.0, (img_raw + 1.0) / 2.0,
+                split_label=cfg.split_percep_label,
             )
             idt = cfg.lambda_idt * multiscale_rec_loss(idt_out, img_exp, cfg.idt_loss_type)
             return adv, percep, idt, extra

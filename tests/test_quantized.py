@@ -130,6 +130,63 @@ def test_calibration_forward_matches_packed_eval():
     assert all(float(v) > 0 for v in maxes.values())
 
 
+def _renorm(t):
+    """Unit fan-in gain on every conv kernel (trained-magnitude network)."""
+    for k, v in t.items():
+        if isinstance(v, dict):
+            _renorm(v)
+        elif k == "kernel" and np.ndim(v) == 4:
+            gain = float(np.std(v)) * np.sqrt(float(np.prod(v.shape[:3])))
+            t[k] = v * (1.0 / max(gain, 1e-8))
+
+
+def test_int8_deep_head_matches_sequential_chain(monkeypatch):
+    """The stride-2 deep composed dec5 head (interior one-conv form) agrees
+    with the sequential int8 dec5_0->dec5_1 chain.
+
+    Both are int8 approximations of the same fp function; the interior is
+    quantized ONCE through the composed kernel (vs twice through the h5
+    intermediate), so the paths differ by bounded quantization error, not
+    bitness.  Uses unit-gain weights so activations are O(1) (see
+    test_int8_packed_forward_close_to_bf16)."""
+    import uegan_tpu.infer.quantized as qz
+
+    cfg = Config(compute_dtype="bfloat16")
+    state, bundle = create_train_state(cfg, jax.random.PRNGKey(0), (64, 64), 1)
+    g_params = jax.device_get(state.g_params)
+    _renorm(g_params)
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.uniform(-1, 1, (1, 64, 64, 3)).astype(np.float32))
+
+    monkeypatch.setattr(qz, "_INT8_DEEP_HEAD", True)
+    deep = np.asarray(
+        jax.jit(qz.make_int8_eval(bundle, g_params, calib_batch=np.asarray(x)))(
+            None, None, x
+        ),
+        np.float32,
+    )
+    monkeypatch.setattr(qz, "_INT8_DEEP_HEAD", False)
+    seq = np.asarray(
+        jax.jit(qz.make_int8_eval(bundle, g_params, calib_batch=np.asarray(x)))(
+            None, None, x
+        ),
+        np.float32,
+    )
+    assert deep.shape == seq.shape == x.shape
+    assert np.isfinite(deep).all()
+    # same int8 scheme either side of the composition: differences are a few
+    # dequant lsb (scale sc["h5"]/sc["mod"]-sized), bounded well below any
+    # visible change; the border band is the SAME sequential chain bit-for-bit
+    assert _psnr(deep, seq) >= 35.0
+    assert float(np.abs(deep - seq).max()) <= 0.08
+    # border band (2 packed rows = 4 original rows) comes from the sequential
+    # chain in both builds — same int8 accumulators, but the slab convs lower
+    # differently than the full-image convs, so the bf16 epilogue can round
+    # 1 ulp apart (measured max 0.0039 = 1 ulp at |x|~0.9)
+    np.testing.assert_allclose(deep[:, :4], seq[:, :4], atol=0.008)
+    np.testing.assert_allclose(deep[:, :, -4:], seq[:, :, -4:], atol=0.008)
+
+
 @pytest.mark.slow
 def test_int8_packed_forward_close_to_bf16():
     """End-to-end: the int8 packed forward agrees with the bf16 packed

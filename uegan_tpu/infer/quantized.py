@@ -5,12 +5,14 @@ MXU utilization (infer/packed.py); its convs sit AT the bf16 MXU roofline
 (OPTIMIZATION_NOTES.md).  The v5e MXU runs int8 at 2x the bf16 rate and int8
 activations halve HBM traffic, so quantizing exactly those packed full-res
 convs buys back the overhead.  Measured on the v5e chip (tools/bench_int8.py,
-512px B=128): 568 img/s vs 516 bf16 (the quantized convs themselves speed up
-~1.8x — chained-conv microbenchmark incl. requant ops — while the bf16
-bandwidth work bounds the end-to-end gain; 470 -> 522 before the fused
-resize+conv einsums landed in both paths).  Accuracy: 45.6 dB PSNR vs the
-bf16 packed forward on a unit-gain (trained-magnitude) network
-(tests/test_quantized.py).
+512px B=128): 650 img/s vs 632 bf16 (r3, with the int8 stride-2 deep
+composed dec5 head: 650.3/650.7/647.9 vs 600.0/598.7 sequential-chain —
++8.4%; r1 history: 568 vs 516 bf16, the quantized convs themselves ~1.8x in
+a chained-conv microbenchmark incl. requant ops, while the bf16 bandwidth
+work bounds the end-to-end gain).  Accuracy: 45.6 dB PSNR vs the bf16
+packed forward on a unit-gain (trained-magnitude) network
+(tests/test_quantized.py); the deep head quantizes the composed kernel ONCE
+(no h5 intermediate requant), so interior error does not grow.
 
 Scheme (standard symmetric int8):
 - weights: per-output-channel scales over the PACKED kernels, with each
@@ -42,7 +44,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from uegan_tpu.infer.packed import (
+    _DEC5_FIX,
+    _DEC5_SLAB,
     _PACK_PADS,
+    _flag,
     depth_to_space,
     leaky,
     make_packed_eval,
@@ -56,6 +61,16 @@ from uegan_tpu.infer.packed import (
 )
 
 Array = jnp.ndarray
+
+# int8 form of the stride-2 deep composed dec5 head (see packed.py's
+# compose_dec5_deep_kernel): ONE int8 conv replaces the dec5_0 + requant +
+# dec5_1 chain.  The composed kernel is quantized once (the sequential chain
+# quantizes twice, incl. the h5 intermediate), so interior accuracy improves;
+# the _DEC5_FIX border band keeps the sequential int8 chain (composed-reflect
+# != sequential-reflect there), so band values carry the sequential path's
+# slightly different quantization error — a sub-lsb seam on the order of the
+# path's documented int8 error, not a correctness boundary.
+_INT8_DEEP_HEAD = _flag("UEGAN_INT8_DEEP_HEAD", True)
 
 INPUT_SCALE = 1.0 / 127.0  # network input is [-1, 1] by contract
 
@@ -377,6 +392,10 @@ def make_int8_eval(
     q["dec4"], w["dec4"] = quantize_weights(pk["dec4_k"], in_sc)
     q["dec5_0"], w["dec5_0"] = quantize_weights(pk["dec5_0_k"], sc["mod"])
     q["dec5_1"], w["dec5_1"] = quantize_weights(pk["dec5_1_k"], sc["h5"])
+    # stride-2 deep composed head (interior): quantized ONCE from the fp
+    # composed kernel, per-output-channel over the 48 deep channels
+    q["dec5d"], w["dec5d"] = quantize_weights(pk["dec5d_k"], sc["mod"])
+    b9 = np.asarray(pk["dec5c_b"], np.float32)  # composed 3-channel bias
 
     biases = {
         "enc1": g("enc1", "conv", "bias"), "enc2": g("enc2", "conv", "bias"),
@@ -455,17 +474,46 @@ def make_int8_eval(
                              w["dec4"], jnp.asarray(biases["dec4"]), True))
             modq = quantize_act(y4p * x1p_bf, sc["mod"])
 
-        if _pl_ok(modq.shape, "dec5_0"):
-            h5q = _conv_q_fused(modq, *_plq("dec5_0"), s0s["dec5_0_s0"], cd,
-                                out_scale=sc["h5"], requant=True)
+        def seq_tail(mq):
+            """Sequential int8 dec5_0 -> requant -> dec5_1 + tanh chain
+            (canonical border semantics; also the whole-image fallback)."""
+            if _pl_ok(mq.shape, "dec5_0"):
+                h5q = _conv_q_fused(mq, *_plq("dec5_0"), s0s["dec5_0_s0"], cd,
+                                    out_scale=sc["h5"], requant=True)
+            else:
+                h5 = _deq(_conv_q(mq, jnp.asarray(q["dec5_0"]),
+                                  s0s["dec5_0_s0"], cd),
+                          w["dec5_0"], jnp.asarray(biases["dec5_0"]), True)
+                h5q = quantize_act(h5, sc["h5"])
+            return jnp.tanh(_deq(_conv_q(h5q, jnp.asarray(q["dec5_1"]),
+                                         s0s["dec5_1_s0"], cd),
+                                 w["dec5_1"], jnp.asarray(biases["dec5_1"]), True))
+
+        lp, wp = modq.shape[1], modq.shape[2]
+        r, L = _DEC5_FIX, _DEC5_SLAB
+        if (_INT8_DEEP_HEAD and lp % 2 == 0 and wp % 2 == 0
+                and lp > L + r and wp > L + r):
+            # interior: ONE stride-2 int8 conv (6,6,4C,48) with dequant +
+            # composed bias + tanh epilogue, then depth_to_space — replaces
+            # the full-size dec5_0 conv, the h5 requant pass, and the
+            # lane-starved (4,4,4C,12) dec5_1 conv.  Zero-pad contamination
+            # reaches exactly the r-band the sequential strips overwrite
+            # (same geometry as packed.py's packed_dec5_head).
+            yd = lax.conv_general_dilated(
+                modq, jnp.asarray(q["dec5d"]),
+                window_strides=(2, 2), padding=((2, 2), (2, 2)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32,
+            )
+            v = yd.astype(jnp.float32) * jnp.asarray(w["dec5d"], jnp.float32)
+            v = jnp.tanh(v + jnp.tile(jnp.asarray(b9), 16))
+            res = depth_to_space(v.astype(dt))  # (N, lp, wp, 12)
+            res = res.at[:, :, :r].set(seq_tail(modq[:, :, :L])[:, :, :r])
+            res = res.at[:, :, wp - r :].set(seq_tail(modq[:, :, wp - L :])[:, :, L - r :])
+            res = res.at[:, :r].set(seq_tail(modq[:, :L])[:, :r])
+            res = res.at[:, lp - r :].set(seq_tail(modq[:, lp - L :])[:, L - r :])
         else:
-            h5 = _deq(_conv_q(modq, jnp.asarray(q["dec5_0"]),
-                              s0s["dec5_0_s0"], cd),
-                      w["dec5_0"], jnp.asarray(biases["dec5_0"]), True)
-            h5q = quantize_act(h5, sc["h5"])
-        res = jnp.tanh(_deq(_conv_q(h5q, jnp.asarray(q["dec5_1"]),
-                                    s0s["dec5_1_s0"], cd),
-                            w["dec5_1"], jnp.asarray(biases["dec5_1"]), True))
+            res = seq_tail(modq)
         out = jnp.clip(res.astype(jnp.float32) + xp.astype(jnp.float32), -1.0, 1.0)
         return depth_to_space(out.astype(dt))
 

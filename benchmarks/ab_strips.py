@@ -1,10 +1,13 @@
 """A/B harness for the H-strip executor (infer/strips.py) on the real chip.
 
 Usage: python benchmarks/ab_strips.py [HW] [B] [slab_unpack_min] [exit_chunks]
+           [strip_rows] [int8]
 
 Times make_strip_eval at HW px, batch B, optionally overriding the
 per-slab-unpack gate (_SLAB_UNPACK_MIN) and the lax.map exit-chain chunk
 size, so gate thresholds can be re-derived after layout/packing changes.
+A 6th arg ``int8`` times the int8 strip executor instead (unit-gain
+weights so the quantized tensors carry trained-magnitude values).
 Prints one img/s line per invocation (3 timed iters after 2 warmups).
 """
 import os, time, sys
@@ -28,14 +31,35 @@ chunks = int(sys.argv[4]) if len(sys.argv) > 4 else 0
 if slab_min is not None:
     strips._SLAB_UNPACK_MIN = slab_min
 
+int8 = len(sys.argv) > 6 and sys.argv[6] == "int8"
+
 cfg = Config(compute_dtype="bfloat16")
 state, bundle = create_train_state(cfg, jax.random.PRNGKey(0), (HW, HW), steps_per_epoch=1)
 dev = jax.devices()[0]
-g_params = jax.device_put(state.g_params, dev)
-pk = pack_generator_params(jax.device_get(state.g_params), cfg.g_conv_dim)
+host_params = jax.device_get(state.g_params)
 r = int(sys.argv[5]) if len(sys.argv) > 5 else pick_strip_rows(HW // 2, B)
 x = jax.device_put(np.random.default_rng(0).uniform(-1, 1, (B, HW, HW, 3)).astype(np.float32), dev)
-f = jax.jit(make_strip_eval(bundle, pk, r, chunks))
+if int8:
+    def _renorm(t):  # unit fan-in gain: trained-magnitude activations
+        for k, v in t.items():
+            if isinstance(v, dict):
+                _renorm(v)
+            elif k == "kernel" and np.ndim(v) == 4:
+                gain = float(np.std(v)) * np.sqrt(float(np.prod(v.shape[:3])))
+                t[k] = v * (1.0 / max(gain, 1e-8))
+
+    from uegan_tpu.infer.quantized import build_quant_tables
+
+    _renorm(host_params)
+    tabs = build_quant_tables(bundle, host_params)
+    fq = jax.jit(make_strip_eval(bundle, tabs["pk"], r, chunks, quant=tabs))
+    g_params = jax.device_put(
+        jax.tree_util.tree_map(np.asarray, host_params), dev)
+    f = fq
+else:
+    g_params = jax.device_put(state.g_params, dev)
+    pk = pack_generator_params(host_params, cfg.g_conv_dim)
+    f = jax.jit(make_strip_eval(bundle, pk, r, chunks))
 out = None
 for _ in range(2):
     out = f(g_params, x)
@@ -46,4 +70,5 @@ for _ in range(N):
     out = f(g_params, x)
 _ = np.asarray(out[0, :1, :1, 0])
 dt = time.perf_counter() - t0
-print(f"{HW}px B={B} r={r} slab_min={strips._SLAB_UNPACK_MIN} chunks={chunks}: {B*N/dt:.2f} img/s")
+tag = " int8" if int8 else ""
+print(f"{HW}px B={B} r={r} slab_min={strips._SLAB_UNPACK_MIN} chunks={chunks}{tag}: {B*N/dt:.2f} img/s")

@@ -27,6 +27,9 @@ VARIANTS = {
     "sg": {"split_percep_label": False, "split_g_adv": True},
     "sp+sg": {"split_percep_label": True, "split_g_adv": True},
     "default": {},
+    # packed-interior lever (VERDICT r3 #5): second s2d level on the
+    # half-res stage group of the packed train forward
+    "l2": {"packed_train_l2": True},
 }
 
 

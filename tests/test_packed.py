@@ -269,6 +269,41 @@ def test_packed_train_forward_matches_canonical(rng):
         )
 
 
+def test_packed_train_l2_interior_matches_canonical(rng):
+    """make_packed_eval(bundle, None, l2_interior=True) — the measured
+    packed-interior train lever (second s2d level on enc3/ga2/up3/dec3) —
+    equals the canonical forward, and canonical-param grads agree."""
+    from uegan_tpu.config import Config
+    from uegan_tpu.train.state import create_train_state
+    from uegan_tpu.train.step import make_eval_step
+
+    cfg = Config(compute_dtype="float32")
+    state, bundle = create_train_state(cfg, jax.random.PRNGKey(0), (32, 32), 1)
+    packed_fn = make_packed_eval(bundle, None, l2_interior=True)
+    canon = make_eval_step(bundle)
+    x = jnp.asarray(rng.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32))
+
+    got = jax.jit(packed_fn)(state.g_params, x)
+    want = jax.jit(canon)(state.g_params, state.g_extra, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+    def loss_p(params):
+        return jnp.mean(jnp.square(packed_fn(params, x)))
+
+    def loss_c(params):
+        return jnp.mean(jnp.square(canon(params, state.g_extra, x)))
+
+    gp = jax.jit(jax.grad(loss_p))(state.g_params)
+    gc = jax.jit(jax.grad(loss_c))(state.g_params)
+    flat_p = jax.tree_util.tree_leaves_with_path(gp)
+    flat_c = {jax.tree_util.keystr(k): v for k, v in jax.tree_util.tree_leaves_with_path(gc)}
+    for key, v in flat_p:
+        ks = jax.tree_util.keystr(key)
+        np.testing.assert_allclose(
+            np.asarray(v), np.asarray(flat_c[ks]), rtol=5e-4, atol=1e-5, err_msg=ks
+        )
+
+
 def test_packed_train_step_matches_canonical(rng):
     """Full train step with packed_train=True stays close to canonical."""
     from uegan_tpu.config import Config

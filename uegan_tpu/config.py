@@ -163,6 +163,12 @@ class Config:
     # +30% steps/s measured.  Same math as canonical to float tolerance but
     # NOT bit-identical — the loss-canary change was deliberate; set False
     # for the bit-canonical step.  Default-G-config only, else falls back.)
+    packed_train_l2: bool = False  # additionally run the half-res interior
+    # stage group (enc3/ga2/up3/dec3) of the packed train forward in a
+    # SECOND space-to-depth level (C=64 -> 256 lanes).  Measured via
+    # benchmarks/ab_train.py (wire-or-retire bar; see OPTIMIZATION_NOTES
+    # round-4 for the verdict + numbers); equality test-enforced.
+    # Requires packed_train.
     strip_rows: int = 0  # exact H-strip execution for huge images:
     # 0 = auto (256-packed-row strips once the packed height reaches 1024,
     # i.e. images >= 2048px), -1 = off, >0 = forced packed rows per strip.

@@ -874,7 +874,8 @@ def packed_s0_statics() -> Dict[str, int]:
     return out
 
 
-def make_packed_eval(bundle, packed: Dict[str, np.ndarray] = None):
+def make_packed_eval(bundle, packed: Dict[str, np.ndarray] = None,
+                     l2_interior: bool = False):
     """Jittable packed forward: fn(params, x) -> enhanced.
 
     ``packed`` comes from :func:`pack_generator_params` and is closed over as
@@ -883,6 +884,15 @@ def make_packed_eval(bundle, packed: Dict[str, np.ndarray] = None):
     the TRAINING fast path).  Only valid for the default generator config
     (norm 'none', LeakyReLU, no spectral norm in G) — asserted at build
     time.  Numerical equivalence with the canonical forward is test-enforced.
+
+    ``l2_interior`` (traced/training path only): run the half-res stage
+    group — enc3 (stride-2 consumer), ga2, up3, dec3 — in a SECOND
+    space-to-depth level (the Hp-grid maps packed to (Hp/2, Wp/2, 4C), C=64
+    -> 256 lanes), kernels packed from the live params so autodiff flows.
+    The same transform at inference measured slower (352.8 vs 363.2 img/s,
+    see pack_generator_params' note); this flag exists to put the TRAINING
+    claim under the same measure-or-retire bar (VERDICT r3 #5) via
+    benchmarks/ab_train.py.
     """
     from uegan_tpu.models.blocks import ConvBlock, GAM, SNConv
     from uegan_tpu.ops.resize import upsample2x_align_corners
@@ -959,7 +969,21 @@ def make_packed_eval(bundle, packed: Dict[str, np.ndarray] = None):
                          p["enc2"]["conv"]["bias"], dt, act=leaky)
 
         # interior at <=256^2: canonical modules on the canonical params
-        x3 = block(cd * 4, 3, 2, "enc3").apply({"params": p["enc3"]}, x2, False, False)
+        # (or, under l2_interior, the Hp-grid stages in a second s2d level)
+        l2 = (l2_interior and packed is None
+              and x2.shape[1] % 2 == 0 and x2.shape[2] % 2 == 0)
+        if l2:
+            c2 = 2 * cd
+            x2l = space_to_depth(x2)  # (N, Hp/2, Wp/2, 4*2cd)
+            # enc3 is a stride-2 conv over the Hp grid — the same algebra as
+            # enc2 one level down (packed-in, unpacked half-res out); (3,1)
+            # geometry shares enc2's s0
+            enc3_kp = pack_kernel_s2_traced(p["enc3"]["conv"]["kernel"],
+                                            _PACK_PADS["enc2"][1])
+            x3 = packed_conv(x2l, enc3_kp, enc2_s0, c2,
+                             p["enc3"]["conv"]["bias"], dt, act=leaky)
+        else:
+            x3 = block(cd * 4, 3, 2, "enc3").apply({"params": p["enc3"]}, x2, False, False)
         x4 = block(cd * 8, 3, 2, "enc4").apply({"params": p["enc4"]}, x3, False, False)
         x5 = block(cd * 16, 3, 2, "enc5").apply({"params": p["enc5"]}, x4, False, False)
         x5 = gam_apply("ga5", cd * 16, x5)
@@ -1003,9 +1027,40 @@ def make_packed_eval(bundle, packed: Dict[str, np.ndarray] = None):
         y2 = jnp.concatenate([y2, gam_apply("ga3", cd * 4, x3)], -1)
         y2 = block(cd * 4, 3, 1, "dec2").apply({"params": p["dec2"]}, y2, False, False)
 
-        y3 = up_stage("upsample3", cd * 2, y2)
-        y3 = jnp.concatenate([y3, gam_apply("ga2", cd * 2, x2)], -1)
-        y3 = block(cd * 2, 3, 1, "dec3").apply({"params": p["dec3"]}, y3, False, False)
+        if l2:
+            # up3 in the L2 domain: phase-split packed resize (emits the L2
+            # layout directly) + block-diagonal packed 1x1 (the training
+            # unfused form, mirroring the up4 path below)
+            up3l = packed_resize2x(y2, (x2.shape[1], x2.shape[2]))
+            up3l = conv1x1(up3l,
+                           pack_kernel_1x1_traced(p["upsample3"]["kernel"]),
+                           p["upsample3"]["bias"], c2)
+            # ga2 with the LIVE SE branch in the L2 domain (split-fuse
+            # algebra, same as the ga1 packed branch below: stats -> squeeze
+            # -> excite, conv only the x-part, h as a per-image broadcast)
+            mean2, std2 = packed_gam_stats(x2l, c2)
+            stats2 = jnp.concatenate([mean2, std2], -1).astype(dt)
+            sq2 = p["ga2"]["squeeze"]["kernel"][0, 0].astype(dt)
+            ex2 = p["ga2"]["excite"]["kernel"][0, 0].astype(dt)
+            h2 = jax.nn.relu(stats2 @ sq2) @ ex2
+            kh2 = p["ga2"]["fuse"]["kernel"][0, 0, c2:, :].astype(dt)
+            ga2l = conv1x1(
+                x2l,
+                pack_kernel_1x1_traced(p["ga2"]["fuse"]["kernel"][:, :, :c2, :]),
+                p["ga2"]["fuse"]["bias"], c2)
+            ga2l = ga2l + jnp.tile(h2 @ kh2, (1, 4))[:, None, None, :].astype(ga2l.dtype)
+            ga2l = packed_instance_norm(ga2l, c2)
+            d3k = interleave_input_channels_traced(
+                pack_kernel_s1_traced(p["dec3"]["conv"]["kernel"],
+                                      _PACK_PADS["dec4"][1]), [c2, c2])
+            y3l = packed_conv(jnp.concatenate([up3l, ga2l], -1), d3k,
+                              dec4_s0, [c2, c2],
+                              p["dec3"]["conv"]["bias"], dt, act=leaky)
+            y3 = depth_to_space(y3l)  # canonical (N, Hp, Wp, 2cd) for up4
+        else:
+            y3 = up_stage("upsample3", cd * 2, y2)
+            y3 = jnp.concatenate([y3, gam_apply("ga2", cd * 2, x2)], -1)
+            y3 = block(cd * 2, 3, 1, "dec3").apply({"params": p["dec3"]}, y3, False, False)
 
         # ga1 on the packed x1
         if dead_se:
@@ -1124,14 +1179,34 @@ def make_fast_eval(bundle, g_params, calib_batch=None):
     if not eligible:
         return make_eval_step(bundle)
     qi = getattr(bundle.config, "quantized_inference", "")
+    strip_cfg = getattr(bundle.config, "strip_rows", 0)
     if qi in ("int8", "int8_pallas"):
-        from uegan_tpu.infer.quantized import make_int8_eval
+        from uegan_tpu.infer.quantized import build_quant_tables, make_int8_eval
 
-        return make_int8_eval(bundle, g_params, calib_batch=calib_batch,
-                              use_pallas=qi == "int8_pallas")
+        tabs = build_quant_tables(bundle, g_params, calib_batch)
+        int8_fn = make_int8_eval(bundle, g_params, use_pallas=qi == "int8_pallas",
+                                 tables=tabs)
+
+        def routed_q(params, extra, x):
+            # huge images route to the int8 STRIP executor (same shape gate
+            # as the bf16 routing below; the int8 scheme extends to the
+            # strip exit chain — see strips.make_int8_strip_eval)
+            hp = x.shape[1] // 2
+            if qi == "int8" and strip_cfg >= 0:
+                from uegan_tpu.infer.strips import (
+                    _M_EXIT, make_int8_strip_eval, pick_strip_rows)
+
+                r = strip_cfg if strip_cfg > 0 else pick_strip_rows(hp, x.shape[0])
+                if (r and hp % r == 0 and hp >= 2 * r and r % 2 == 0
+                        and r > 2 * _M_EXIT):
+                    chunks = getattr(bundle.config, "strip_chunks", 0)
+                    return make_int8_strip_eval(bundle, tabs, r, chunks)(
+                        params, extra, x)
+            return int8_fn(params, extra, x)
+
+        return routed_q
     packed = pack_generator_params(jax.device_get(g_params), gm.conv_dim)
     packed_fn = make_packed_eval(bundle, packed)
-    strip_cfg = getattr(bundle.config, "strip_rows", 0)
 
     def routed(params, extra, x):
         # huge images: route to the exact H-strip executor (infer/strips.py)

@@ -336,11 +336,64 @@ def _interior(bundle, p, x2):
     return y3
 
 
+def build_quant_tables(bundle, g_params, calib_batch: Optional[np.ndarray] = None):
+    """Quantize the packed full-res kernels + calibrate activation scales.
+
+    Shared by the full-image int8 forward (:func:`make_int8_eval`) and the
+    int8 strip executor (``infer/strips.py``): returns a dict with
+
+    - ``q``:  int8 packed kernels (enc1/enc2/ga1/dec4/dec5_0/dec5_1/dec5d)
+    - ``w``:  their per-output-channel dequant scales
+    - ``sc``: per-tensor activation scales (SCALE_KEYS + the input's 1/127)
+    - ``b``:  original-channel fp32 biases per conv
+    - ``b9``: the composed dec5 head's 3-channel bias
+    - ``se``: ga1's (squeeze, excite, fuse-h) fp kernels for the SE branch
+    """
+    gm = bundle.g_model
+    cd = gm.conv_dim
+    host = jax.device_get(g_params)
+    g = lambda *path: np.asarray(_get(host, path))
+    pk = pack_generator_params(host, cd)
+
+    if calib_batch is None:
+        calib_batch = np.random.default_rng(1990).uniform(
+            -1, 1, (2, 64, 64, 3)
+        ).astype(np.float32)
+    sc = calibrate(bundle, host, jnp.asarray(calib_batch))
+
+    q: Dict[str, np.ndarray] = {}
+    w: Dict[str, np.ndarray] = {}
+    q["enc1"], w["enc1"] = quantize_weights(pk["enc1_k"], INPUT_SCALE)
+    q["enc2"], w["enc2"] = quantize_weights(pk["enc2_k"], sc["x1p"])
+    q["ga1"], w["ga1"] = quantize_weights(pk["ga1_fuse_x_k"], sc["x1p"])
+    in_sc = np.concatenate([np.full(4 * cd, sc["up4"]), np.full(4 * cd, sc["ga1p"])])
+    q["dec4"], w["dec4"] = quantize_weights(pk["dec4_k"], in_sc)
+    q["dec5_0"], w["dec5_0"] = quantize_weights(pk["dec5_0_k"], sc["mod"])
+    q["dec5_1"], w["dec5_1"] = quantize_weights(pk["dec5_1_k"], sc["h5"])
+    q["dec5d"], w["dec5d"] = quantize_weights(pk["dec5d_k"], sc["mod"])
+
+    biases = {
+        "enc1": g("enc1", "conv", "bias"), "enc2": g("enc2", "conv", "bias"),
+        "ga1": g("ga1", "fuse", "bias"), "up4": g("upsample4", "bias"),
+        "dec4": g("dec4", "conv", "bias"), "dec5_0": g("dec5_0", "bias"),
+        "dec5_1": g("dec5_1", "bias"),
+    }
+    se = {
+        "squeeze": g("ga1", "squeeze", "kernel")[0, 0],
+        "excite": g("ga1", "excite", "kernel")[0, 0],
+        "fuse_h": g("ga1", "fuse", "kernel")[0, 0, cd:, :],
+    }
+    return {"q": q, "w": w, "sc": sc, "b": biases,
+            "b9": np.asarray(pk["dec5c_b"], np.float32), "se": se,
+            "host": host, "pk": pk}
+
+
 def make_int8_eval(
     bundle,
     g_params,
     calib_batch: Optional[np.ndarray] = None,
     use_pallas: bool = False,
+    tables: Optional[Dict] = None,
 ):
     """Build the int8 packed inference forward: fn(params, extra, x).
 
@@ -366,46 +419,19 @@ def make_int8_eval(
         "int8 packed inference supports the default generator config only"
     )
     cd = gm.conv_dim
-    host = jax.device_get(g_params)
-    g = lambda *path: np.asarray(_get(host, path))
-    pk = pack_generator_params(host, cd)
     s0s = packed_s0_statics()
 
-    if calib_batch is None:
-        calib_batch = np.random.default_rng(1990).uniform(
-            -1, 1, (2, 64, 64, 3)
-        ).astype(np.float32)
-    sc = calibrate(bundle, host, jnp.asarray(calib_batch))
-
-    # --- quantize the packed kernels, folding input scales ---
-    q: Dict[str, np.ndarray] = {}
-    w: Dict[str, np.ndarray] = {}
-    q["enc1"], w["enc1"] = quantize_weights(pk["enc1_k"], INPUT_SCALE)
-    q["enc2"], w["enc2"] = quantize_weights(pk["enc2_k"], sc["x1p"])
-    q["ga1"], w["ga1"] = quantize_weights(pk["ga1_fuse_x_k"], sc["x1p"])
-    # up4 has no int8 kernel: the fused bf16 resize+conv einsum feeds the
-    # quantizer directly (packed_resize2x_conv1x1)
-    # dec4's interleaved kernel rows are in TENSOR layout [A_p0..p3, B_p0..p3]
-    # (interleave_input_channels reorders the kernel to the concat layout):
-    # per-channel fold of the two parts' scales in that order
-    in_sc = np.concatenate([np.full(4 * cd, sc["up4"]), np.full(4 * cd, sc["ga1p"])])
-    q["dec4"], w["dec4"] = quantize_weights(pk["dec4_k"], in_sc)
-    q["dec5_0"], w["dec5_0"] = quantize_weights(pk["dec5_0_k"], sc["mod"])
-    q["dec5_1"], w["dec5_1"] = quantize_weights(pk["dec5_1_k"], sc["h5"])
-    # stride-2 deep composed head (interior): quantized ONCE from the fp
-    # composed kernel, per-output-channel over the 48 deep channels
-    q["dec5d"], w["dec5d"] = quantize_weights(pk["dec5d_k"], sc["mod"])
-    b9 = np.asarray(pk["dec5c_b"], np.float32)  # composed 3-channel bias
-
-    biases = {
-        "enc1": g("enc1", "conv", "bias"), "enc2": g("enc2", "conv", "bias"),
-        "ga1": g("ga1", "fuse", "bias"), "up4": g("upsample4", "bias"),
-        "dec4": g("dec4", "conv", "bias"), "dec5_0": g("dec5_0", "bias"),
-        "dec5_1": g("dec5_1", "bias"),
-    }
-    ga1_sq = g("ga1", "squeeze", "kernel")[0, 0]
-    ga1_ex = g("ga1", "excite", "kernel")[0, 0]
-    ga1_kh = g("ga1", "fuse", "kernel")[0, 0, cd:, :]
+    # packed-kernel quantization (input scales folded per channel — see
+    # build_quant_tables; up4 has no int8 kernel: the fused bf16 resize+conv
+    # einsum feeds the quantizer directly; dec5d is the stride-2 deep
+    # composed head quantized ONCE from the fp composed kernel)
+    tabs = tables if tables is not None else build_quant_tables(
+        bundle, g_params, calib_batch)
+    q, w, sc, biases = tabs["q"], tabs["w"], tabs["sc"], tabs["b"]
+    b9 = tabs["b9"]
+    host, pk = tabs["host"], tabs["pk"]
+    ga1_sq, ga1_ex, ga1_kh = (tabs["se"]["squeeze"], tabs["se"]["excite"],
+                              tabs["se"]["fuse_h"])
 
     def _plq(name):  # pallas operands for conv `name`
         return (

@@ -320,13 +320,25 @@ def pick_strip_chunks(n: int, s: int, hs: int, wp: int) -> int:
 
 
 def make_strip_eval(bundle, packed: Dict[str, np.ndarray], strip_rows: int,
-                    chunk_strips: int = 0):
+                    chunk_strips: int = 0, quant: Dict = None):
     """Jittable strip-wise packed forward: fn(params, x) -> enhanced.
 
     Same contract and numerics as make_packed_eval's fn (exactness is
     test-enforced); only valid for the default generator config and for
     inputs whose packed height is a multiple of ``strip_rows`` with
     ``strip_rows > 2 * _M_EXIT``.
+
+    ``quant`` (from ``infer.quantized.build_quant_tables``): run the packed
+    full-res convs of BOTH chains int8 — enc1/enc2 in the entry chain,
+    ga1/dec4 and the dec5 head in the exit chain — with the same scheme as
+    the full-image int8 path (per-output-channel weight scales with input
+    scales folded, per-tensor activation scales, int32 accumulation,
+    dequant+bias+act in bf16).  The interior, the up3/up4 resize einsums,
+    ga2, the instance norms, and the residual stay bf16 exactly as the
+    512px int8 path keeps them.  Halo refixes operate on the bf16
+    dequantized tensors (quantization is pointwise, so reflect commutes
+    with it).  Lossy like the 512px path (>=30 dB vs the bf16 strips,
+    test-enforced), hence opt-in via ``Config.quantized_inference``.
 
     ``chunk_strips``: strips per exit-chain chunk — the dec3..output slab
     work runs under ``lax.map`` over chunks so only one chunk's temporaries
@@ -349,6 +361,20 @@ def make_strip_eval(bundle, packed: Dict[str, np.ndarray], strip_rows: int,
     s0s = packed_s0_statics()
     r = strip_rows
     assert r > 2 * _M_EXIT and r % 2 == 0
+
+    qt = quant
+    if qt is not None:
+        from uegan_tpu.infer.quantized import (  # noqa: F401
+            INPUT_SCALE, _deq, quantize_act)
+
+        qk = {k: jnp.asarray(v) for k, v in qt["q"].items()}
+        qw, qsc, qb = qt["w"], qt["sc"], qt["b"]
+        qb9 = jnp.asarray(qt["b9"])
+
+        def conv_q(xq, name, s0, c_in):
+            """int8 packed conv -> int32, slab form (W fixups only)."""
+            return packed_conv(xq, qk[name], s0, c_in, bias=None,
+                               dtype=jnp.int8, h_fixups=False)
 
     def block(features, k, stride):
         return ConvBlock(features=features, kernel_size=k, stride=stride,
@@ -409,19 +435,32 @@ def make_strip_eval(bundle, packed: Dict[str, np.ndarray], strip_rows: int,
         xp = space_to_depth_rows(x.astype(dt))  # (N, Hp, Wp, 12)
 
         # ---- entry strips: enc1, enc2, enc3 (the full-height convs) ----
-        xs = _slabs(xp, s, r, E, packed_c=3)
-        x1s = packed_conv(xs, pk["enc1_k"], s0s["enc1_s0"], 3,
-                          p["enc1"]["conv"]["bias"], dt,
-                          h_fixups=False, act=leaky)               # valid halo E-2
-        # conv does not commute with the input's mirror extension, so the
-        # border slabs' halo rows now hold extended-domain values; re-reflect
-        # them from the real rows so every later consumer (enc2/enc3 and the
-        # exit chain's x1/x2 slices) sees the canonical per-layer reflect pad
-        x1s = _refix_outer_slab_halos(x1s, n, s, E, c=cd)
-        x2s = packed_conv(x1s, pk["enc2_k"], s0s["enc2_s0"], cd,
-                          p["enc2"]["conv"]["bias"], dt,
-                          h_fixups=False, act=leaky)               # valid halo E-3
-        x2s = _refix_outer_slab_halos(x2s, n, s, E)
+        if qt is not None:
+            # int8 entry: quantize the packed input ONCE (slab halos of the
+            # int8 tensor equal quantized halos — reflect is pure movement),
+            # conv int8 -> dequant+bias+leaky in bf16, requantize for enc2
+            xqs = _slabs(quantize_act(xp, INPUT_SCALE), s, r, E, packed_c=3)
+            x1s = leaky(_deq(conv_q(xqs, "enc1", s0s["enc1_s0"], 3),
+                             qw["enc1"], jnp.asarray(qb["enc1"]), True))
+            x1s = _refix_outer_slab_halos(x1s, n, s, E, c=cd)
+            x1q = quantize_act(x1s, qsc["x1p"])
+            x2s = leaky(_deq(conv_q(x1q, "enc2", s0s["enc2_s0"], cd),
+                             qw["enc2"], jnp.asarray(qb["enc2"]), False))
+            x2s = _refix_outer_slab_halos(x2s, n, s, E)
+        else:
+            xs = _slabs(xp, s, r, E, packed_c=3)
+            x1s = packed_conv(xs, pk["enc1_k"], s0s["enc1_s0"], 3,
+                              p["enc1"]["conv"]["bias"], dt,
+                              h_fixups=False, act=leaky)           # valid halo E-2
+            # conv does not commute with the input's mirror extension, so the
+            # border slabs' halo rows now hold extended-domain values; re-reflect
+            # them from the real rows so every later consumer (enc2/enc3 and the
+            # exit chain's x1/x2 slices) sees the canonical per-layer reflect pad
+            x1s = _refix_outer_slab_halos(x1s, n, s, E, c=cd)
+            x2s = packed_conv(x1s, pk["enc2_k"], s0s["enc2_s0"], cd,
+                              p["enc2"]["conv"]["bias"], dt,
+                              h_fixups=False, act=leaky)           # valid halo E-3
+            x2s = _refix_outer_slab_halos(x2s, n, s, E)
         with skip_h_borders():
             x3s = block(cd * 4, 3, 2).apply({"params": p["enc3"]}, x2s, False, False)
         x3 = _unslab(x3s[:, E // 2 : E // 2 + r // 2], n, s)  # (N, Hp/2, Wp/2, 4cd)
@@ -486,6 +525,15 @@ def make_strip_eval(bundle, packed: Dict[str, np.ndarray], strip_rows: int,
                               precision=prec).astype(dt)
 
         def ga1_vals(x1part):
+            if qt is not None:
+                # int8 1x1 on the requantized x1 slice (slices of the entry
+                # x1q — quantization is pointwise, so slicing commutes); the
+                # bias/SE constants are IN-cancelled exactly as in bf16
+                yq = jax.lax.conv_general_dilated(
+                    quantize_act(x1part, qsc["x1p"]), qk["ga1"], (1, 1),
+                    "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.int32)
+                return _deq(yq, qw["ga1"], None, False)
             return conv1x1(x1part, pk["ga1_fuse_x_k"], None)
 
         def apply_in(ts, norm, reps, phases, c):
@@ -590,11 +638,87 @@ def make_strip_eval(bundle, packed: Dict[str, np.ndarray], strip_rows: int,
                           yr[:, -1, hs_ - m - FIXB : hs_ - m]))
             return yr.reshape(n * sc, hs_, wp_, y.shape[-1])
 
-        def exit_strips(x1c, x2c, xc, m3c, y2wc, m4c, sc, strip_ids, norm1,
+        # ---- int8 dec5 head on the strip slabs (same structure as
+        # strip_dec5; conv chain from the quantized tables — the interior
+        # deep kernel quantized ONCE, borders from the sequential int8
+        # chain with the h5 requant, as in quantized.make_int8_eval) ----
+        def seq5_q(slabq):
+            h = _deq(conv_q(slabq, "dec5_0", s0s["dec5_0_s0"], cd),
+                     qw["dec5_0"], jnp.asarray(qb["dec5_0"]), True)
+            return jnp.tanh(_deq(
+                conv_q(quantize_act(h, qsc["h5"]), "dec5_1",
+                       s0s["dec5_1_s0"], cd),
+                qw["dec5_1"], jnp.asarray(qb["dec5_1"]), True))
+
+        def dec5_band_q(zqedge, top):
+            """:func:`dec5_band` on the int8 modulated slabs."""
+            if top:
+                hb = _deq(conv_q(zqedge[:, : m + 6], "dec5_0",
+                                 s0s["dec5_0_s0"], cd),
+                          qw["dec5_0"], jnp.asarray(qb["dec5_0"]), True)
+                tpad, _ = _packed_pad_rows_top_bot(hb[:, m:], 2, cd)
+                hband = jnp.concatenate([tpad, hb[:, m : m + 4]], axis=1)
+            else:
+                hb = _deq(conv_q(zqedge[:, -(m + 6):], "dec5_0",
+                                 s0s["dec5_0_s0"], cd),
+                          qw["dec5_0"], jnp.asarray(qb["dec5_0"]), True)
+                _, bpad = _packed_pad_rows_top_bot(hb[:, :6], 2, cd)
+                hband = jnp.concatenate([hb[:, 2:6], bpad], axis=1)
+            band = jnp.tanh(_deq(
+                conv_q(quantize_act(hband, qsc["h5"]), "dec5_1",
+                       s0s["dec5_1_s0"], cd),
+                qw["dec5_1"], jnp.asarray(qb["dec5_1"]), True))
+            return band[:, 2:4]
+
+        def strip_dec5_q(zq, sc, strip_ids):
+            hs_, wp_ = zq.shape[1], zq.shape[2]
+            FIXB, LW = 2, 6  # packed._DEC5_FIX / _DEC5_SLAB
+            if (hs_ < 2 * (m + 6) or wp_ <= LW + FIXB
+                    or hs_ % 2 or wp_ % 2):
+                # tiny/odd slabs: the sequential int8 chain with halo refix
+                # between the convs (refix on the dequantized h — reflect
+                # commutes with the pointwise requant)
+                h5s = _deq(conv_q(zq, "dec5_0", s0s["dec5_0_s0"], cd),
+                           qw["dec5_0"], jnp.asarray(qb["dec5_0"]), True)
+                h5s = _refix_exit_halos(h5s, n, strip_ids, s, m, cd)
+                return jnp.tanh(_deq(
+                    conv_q(quantize_act(h5s, qsc["h5"]), "dec5_1",
+                           s0s["dec5_1_s0"], cd),
+                    qw["dec5_1"], jnp.asarray(qb["dec5_1"]), True))
+            yd = jax.lax.conv_general_dilated(
+                zq, qk["dec5d"], (2, 2), ((2, 2), (2, 2)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32)
+            v = yd.astype(jnp.float32) * jnp.asarray(qw["dec5d"], jnp.float32)
+            v = jnp.tanh(v + jnp.tile(qb9, 16))
+            y = depth_to_space(v.astype(dt))
+
+            y = y.at[:, :, :FIXB].set(seq5_q(zq[:, :, :LW])[:, :, :FIXB])
+            y = y.at[:, :, wp_ - FIXB:].set(
+                seq5_q(zq[:, :, wp_ - LW:])[:, :, LW - FIXB:])
+
+            zr = zq.reshape(n, sc, hs_, wp_, zq.shape[-1])
+            yr = y.reshape(n, sc, hs_, wp_, y.shape[-1])
+            topb = dec5_band_q(zr[:, 0], True)
+            botb = dec5_band_q(zr[:, -1], False)
+            yr = yr.at[:, 0, m : m + FIXB].set(
+                jnp.where(strip_ids[0] == 0, topb, yr[:, 0, m : m + FIXB]))
+            yr = yr.at[:, -1, hs_ - m - FIXB : hs_ - m].set(
+                jnp.where(strip_ids[-1] == s - 1, botb,
+                          yr[:, -1, hs_ - m - FIXB : hs_ - m]))
+            return yr.reshape(n * sc, hs_, wp_, y.shape[-1])
+
+        def exit_strips(x1c, x2c, xin, m3c, y2wc, m4c, sc, strip_ids, norm1,
                         norm2, slab_unpack):
             """dec3..output on ``sc`` strips of every image.
 
-            x1c/x2c/xc: (n*sc, r+2E, wp, C) entry/input slabs.  norm1/norm2
+            x1c/x2c: (n*sc, r+2E, wp, C) entry slabs; ``xin`` is the packed
+            INPUT restricted to the strip interiors, (n*sc, r, wp, 12) — the
+            residual add + clip are pointwise, so they commute with the
+            margin-discarding slice and the halo rows never need the
+            residual computed at all (also frees the input slabs ``xs``
+            right after enc1 instead of holding them through the exit
+            chain).  norm1/norm2
             None -> GAM-IN moments computed inline from these strips (exact
             only when sc == s); else (mean, scale) global f32 pairs.
             ``strip_ids``: global strip index of each of the sc strips (may
@@ -641,22 +765,31 @@ def make_strip_eval(bundle, packed: Dict[str, np.ndarray], strip_rows: int,
             ga1s = (strip_instance_norm(ga1s, n, s, m, 4, cd) if norm1 is None
                     else apply_in(ga1s, norm1, sc, 4, cd))
 
-            y4s = packed_conv(
-                jnp.concatenate([up4s, ga1s], -1), pk["dec4_k"], s0s["dec4_s0"],
-                [cd, cd], p["dec4"]["conv"]["bias"], dt, h_fixups=False,
-                act=leaky)
+            if qt is not None:
+                d4in = jnp.concatenate([quantize_act(up4s, qsc["up4"]),
+                                        quantize_act(ga1s, qsc["ga1p"])], -1)
+                y4s = leaky(_deq(conv_q(d4in, "dec4", s0s["dec4_s0"], [cd, cd]),
+                                 qw["dec4"], jnp.asarray(qb["dec4"]), True))
+            else:
+                y4s = packed_conv(
+                    jnp.concatenate([up4s, ga1s], -1), pk["dec4_k"],
+                    s0s["dec4_s0"], [cd, cd], p["dec4"]["conv"]["bias"], dt,
+                    h_fixups=False, act=leaky)
             # dec5_0 reflect-pads its input y4*x1; x1es halos are reflect
             # already, so refixing y4s makes the product's halos reflect too
             y4s = _refix_exit_halos(y4s, n, strip_ids, s, m, cd)
-            ress = strip_dec5(y4s * x1es, sc, strip_ids)
-            outs = jnp.clip(ress.astype(jnp.float32)
-                            + xc[:, E - m : E + r + m].astype(jnp.float32),
-                            -1.0, 1.0)
+            if qt is not None:
+                ress = strip_dec5_q(quantize_act(y4s * x1es, qsc["mod"]),
+                                    sc, strip_ids)
+            else:
+                ress = strip_dec5(y4s * x1es, sc, strip_ids)
+            outs = jnp.clip(ress[:, m : m + r].astype(jnp.float32)
+                            + xin.astype(jnp.float32), -1.0, 1.0)
             # the unpack commutes with reassembly (strips are whole packed
             # rows), so it can run per slab — see _SLAB_UNPACK_MIN
             if slab_unpack:
-                return depth_to_space(outs[:, m : m + r].astype(dt))
-            return outs[:, m : m + r].astype(dt)
+                return depth_to_space(outs.astype(dt))
+            return outs.astype(dt)
 
         if chunk_strips > 0:
             cs = min(chunk_strips, s)
@@ -667,10 +800,14 @@ def make_strip_eval(bundle, packed: Dict[str, np.ndarray], strip_rows: int,
         else:
             cs = pick_strip_chunks(n, s, hs, wp)
 
+        xin_all = xp.reshape(n, s, r, wp, xp.shape[-1])  # interior rows per strip
+
         if cs >= s:
             slab_unpack = max(hp, wp) >= _SLAB_UNPACK_MIN
             y2w = jnp.stack([y2[:, o : o + win3] for o in starts3], axis=1)
-            outs = exit_strips(x1s, x2s, xs, mats3, y2w, mats4, s,
+            outs = exit_strips(x1s, x2s,
+                               xin_all.reshape(n * s, r, wp, xp.shape[-1]),
+                               mats3, y2w, mats4, s,
                                jnp.arange(s), None, None, slab_unpack)
             if slab_unpack:
                 return _unslab(outs, n, s)
@@ -681,7 +818,6 @@ def make_strip_eval(bundle, packed: Dict[str, np.ndarray], strip_rows: int,
         rows_e = r + 2 * E
         x1r = x1s.reshape(n, s, rows_e, wp, x1s.shape[-1])
         x2r = x2s.reshape(n, s, rows_e, wp, x2s.shape[-1])
-        xr = xs.reshape(n, s, rows_e, wp, xs.shape[-1])
         starts_arr = jnp.asarray(starts3, jnp.int32)
 
         def chunk_slabs(t, c0):
@@ -722,8 +858,10 @@ def make_strip_eval(bundle, packed: Dict[str, np.ndarray], strip_rows: int,
             y2wc = jnp.stack(
                 [jax.lax.dynamic_slice_in_dim(y2, starts_arr[c0 + i], win3, axis=1)
                  for i in range(cs)], axis=1)
+            xin_c = jax.lax.dynamic_slice_in_dim(xin_all, c0, cs, axis=1)
             return exit_strips(chunk_slabs(x1r, c0), chunk_slabs(x2r, c0),
-                               chunk_slabs(xr, c0), m3c, y2wc, m4c, cs,
+                               xin_c.reshape(n * cs, r, wp, xin_c.shape[-1]),
+                               m3c, y2wc, m4c, cs,
                                c0 + jnp.arange(cs), norm1, norm2, True)
 
         outs = jax.lax.map(exit_chunk, jnp.arange(nch))  # (nch, n*cs, 2r, 2wp, 3)
@@ -738,4 +876,19 @@ def make_strip_fast_eval(bundle, g_params, strip_rows: int,
     """make_fast_eval-shaped wrapper: fn(params, extra, x)."""
     packed = pack_generator_params(jax.device_get(g_params), bundle.g_model.conv_dim)
     fn = make_strip_eval(bundle, packed, strip_rows, chunk_strips)
+    return lambda params, extra, x: fn(params, x)
+
+
+def make_int8_strip_eval(bundle, tables: Dict, strip_rows: int,
+                         chunk_strips: int = 0):
+    """int8 strip executor from prebuilt quant tables
+    (``infer.quantized.build_quant_tables``): fn(params, extra, x).
+
+    Extends the 512px int8 scheme to the high-res ladder — the strip exit
+    chain is made of the same packed full-res convs the full-image path
+    already quantizes (VERDICT r3 #3); opt-in via
+    ``Config.quantized_inference`` like the full-image path.
+    """
+    fn = make_strip_eval(bundle, tables["pk"], strip_rows, chunk_strips,
+                         quant=tables)
     return lambda params, extra, x: fn(params, x)

@@ -77,7 +77,9 @@ def make_train_step(bundle: ModelBundle) -> Callable[[TrainState, Dict], Tuple[T
     if getattr(cfg, "packed_train", False) and fuse_g and g_model.act_fun == "LeakyReLU":
         from uegan_tpu.infer.packed import make_packed_eval
 
-        packed_g = make_packed_eval(bundle, None)
+        packed_g = make_packed_eval(
+            bundle, None,
+            l2_interior=getattr(cfg, "packed_train_l2", False))
 
     # fused_d: all D inputs of a phase run as ONE batched forward.  With
     # spectral norm (the default D) each branch's output is scaled by its own

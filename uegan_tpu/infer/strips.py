@@ -320,7 +320,8 @@ def pick_strip_chunks(n: int, s: int, hs: int, wp: int) -> int:
 
 
 def make_strip_eval(bundle, packed: Dict[str, np.ndarray], strip_rows: int,
-                    chunk_strips: int = 0, quant: Dict = None):
+                    chunk_strips: int = 0, quant: Dict = None,
+                    slab_sharding=None):
     """Jittable strip-wise packed forward: fn(params, x) -> enhanced.
 
     Same contract and numerics as make_packed_eval's fn (exactness is
@@ -348,6 +349,13 @@ def make_strip_eval(bundle, packed: Dict[str, np.ndarray], strip_rows: int,
     (pick_strip_chunks: chunk only when the unchunked exit would blow HBM
     — e.g. 4096px, which RESOURCE_EXHAUSTed unchunked), -1 = never, >0 =
     forced (rounded down to a divisor of the strip count).
+
+    ``slab_sharding`` (a ``NamedSharding`` partitioning axis 0): constrain
+    the slab-batch tensors onto a device mesh — the strips of one image
+    spread over devices, which IS row-sharded multi-chip high-res
+    inference (GSPMD turns the cross-strip instance-norm reductions into
+    psums and the border-slab band recomputes into collectives).
+    Unchunked path only.
     """
     from uegan_tpu.models.blocks import ConvBlock, SNConv
     from uegan_tpu.ops.resize import upsample2x_align_corners
@@ -361,6 +369,10 @@ def make_strip_eval(bundle, packed: Dict[str, np.ndarray], strip_rows: int,
     s0s = packed_s0_statics()
     r = strip_rows
     assert r > 2 * _M_EXIT and r % 2 == 0
+
+    def _shard(t):
+        return (t if slab_sharding is None
+                else jax.lax.with_sharding_constraint(t, slab_sharding))
 
     qt = quant
     if qt is not None:
@@ -439,16 +451,16 @@ def make_strip_eval(bundle, packed: Dict[str, np.ndarray], strip_rows: int,
             # int8 entry: quantize the packed input ONCE (slab halos of the
             # int8 tensor equal quantized halos — reflect is pure movement),
             # conv int8 -> dequant+bias+leaky in bf16, requantize for enc2
-            xqs = _slabs(quantize_act(xp, INPUT_SCALE), s, r, E, packed_c=3)
+            xqs = _shard(_slabs(quantize_act(xp, INPUT_SCALE), s, r, E, packed_c=3))
             x1s = leaky(_deq(conv_q(xqs, "enc1", s0s["enc1_s0"], 3),
                              qw["enc1"], jnp.asarray(qb["enc1"]), True))
-            x1s = _refix_outer_slab_halos(x1s, n, s, E, c=cd)
+            x1s = _shard(_refix_outer_slab_halos(x1s, n, s, E, c=cd))
             x1q = quantize_act(x1s, qsc["x1p"])
             x2s = leaky(_deq(conv_q(x1q, "enc2", s0s["enc2_s0"], cd),
                              qw["enc2"], jnp.asarray(qb["enc2"]), False))
-            x2s = _refix_outer_slab_halos(x2s, n, s, E)
+            x2s = _shard(_refix_outer_slab_halos(x2s, n, s, E))
         else:
-            xs = _slabs(xp, s, r, E, packed_c=3)
+            xs = _shard(_slabs(xp, s, r, E, packed_c=3))
             x1s = packed_conv(xs, pk["enc1_k"], s0s["enc1_s0"], 3,
                               p["enc1"]["conv"]["bias"], dt,
                               h_fixups=False, act=leaky)           # valid halo E-2
@@ -456,11 +468,11 @@ def make_strip_eval(bundle, packed: Dict[str, np.ndarray], strip_rows: int,
             # border slabs' halo rows now hold extended-domain values; re-reflect
             # them from the real rows so every later consumer (enc2/enc3 and the
             # exit chain's x1/x2 slices) sees the canonical per-layer reflect pad
-            x1s = _refix_outer_slab_halos(x1s, n, s, E, c=cd)
+            x1s = _shard(_refix_outer_slab_halos(x1s, n, s, E, c=cd))
             x2s = packed_conv(x1s, pk["enc2_k"], s0s["enc2_s0"], cd,
                               p["enc2"]["conv"]["bias"], dt,
                               h_fixups=False, act=leaky)           # valid halo E-3
-            x2s = _refix_outer_slab_halos(x2s, n, s, E)
+            x2s = _shard(_refix_outer_slab_halos(x2s, n, s, E))
         with skip_h_borders():
             x3s = block(cd * 4, 3, 2).apply({"params": p["enc3"]}, x2s, False, False)
         x3 = _unslab(x3s[:, E // 2 : E // 2 + r // 2], n, s)  # (N, Hp/2, Wp/2, 4cd)
@@ -740,7 +752,7 @@ def make_strip_eval(bundle, packed: Dict[str, np.ndarray], strip_rows: int,
             up3s = jnp.einsum("soh,fpw,nshwc,cq->nsopfq", m3c, mwp2, y2wc,
                               k3, precision=prec)
             up3s = up3s.reshape(n, sc, hs, wp, c2).reshape(ns, hs, wp, c2)
-            up3s = (up3s + b3.astype(up3s.dtype)).astype(dt)
+            up3s = _shard((up3s + b3.astype(up3s.dtype)).astype(dt))
 
             # ga2 in-chain on a SLICE of the entry x2 slabs
             ga2s = ga2_vals(x2c[:, E - m : E + r + m])
@@ -777,7 +789,7 @@ def make_strip_eval(bundle, packed: Dict[str, np.ndarray], strip_rows: int,
                     h_fixups=False, act=leaky)
             # dec5_0 reflect-pads its input y4*x1; x1es halos are reflect
             # already, so refixing y4s makes the product's halos reflect too
-            y4s = _refix_exit_halos(y4s, n, strip_ids, s, m, cd)
+            y4s = _shard(_refix_exit_halos(y4s, n, strip_ids, s, m, cd))
             if qt is not None:
                 ress = strip_dec5_q(quantize_act(y4s * x1es, qsc["mod"]),
                                     sc, strip_ids)
@@ -791,7 +803,9 @@ def make_strip_eval(bundle, packed: Dict[str, np.ndarray], strip_rows: int,
                 return depth_to_space(outs.astype(dt))
             return outs.astype(dt)
 
-        if chunk_strips > 0:
+        if slab_sharding is not None:
+            cs = s  # sharded slabs: every strip lives on its device, no chunking
+        elif chunk_strips > 0:
             cs = min(chunk_strips, s)
             while s % cs:
                 cs -= 1

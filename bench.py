@@ -22,9 +22,10 @@ import json
 import time
 
 A100_PYTORCH_IMG_PER_SEC_EST = 120.0
-BATCH = 128  # measured throughput sweet spot (sweep at the time: 32: 388,
-             # 96: 408-421, 128: 439, 160: 399 img/s on the v5e chip;
-             # 515.7 at B=128 after the fused resize+conv einsum)
+BATCH = 128  # measured throughput sweet spot.  Sweep history on the v5e:
+             # r1 (439-era graph) 32: 388 / 96: 408-421 / 128: 439 / 160:
+             # 399; re-swept r4 at the 620+-era graph — B=128 still best
+             # (see benchmarks/RESULTS_r4.json)
 HW = 512
 WARMUP = 3
 ITERS = 4

@@ -32,6 +32,12 @@ if slab_min is not None:
     strips._SLAB_UNPACK_MIN = slab_min
 
 int8 = len(sys.argv) > 6 and sys.argv[6] == "int8"
+if "norefix" in sys.argv[6:]:
+    # ABLATION (inexact, measurement only): skip the image-border halo
+    # re-reflects to bound their cost — the r2 exactness fix this harness
+    # exists to price (VERDICT r3 #4)
+    strips._refix_outer_slab_halos = lambda t, n, s, edge, c=None: t
+    strips._refix_exit_halos = lambda t, n, ids, s_total, m, c: t
 
 cfg = Config(compute_dtype="bfloat16")
 state, bundle = create_train_state(cfg, jax.random.PRNGKey(0), (HW, HW), steps_per_epoch=1)

@@ -34,7 +34,8 @@ def _force(x):
     return np.asarray(leaf[(0,) * leaf.ndim])
 
 
-def bench_inference(iters: int, hw: int = 512, batch: int = 128):
+def bench_inference(iters: int, hw: int = 512, batch: int = 128,
+                    quantized: str = ""):
     import jax
     import numpy as np
 
@@ -42,7 +43,7 @@ def bench_inference(iters: int, hw: int = 512, batch: int = 128):
     from uegan_tpu.infer.packed import make_fast_eval
     from uegan_tpu.train.state import create_train_state
 
-    cfg = Config(compute_dtype="bfloat16")
+    cfg = Config(compute_dtype="bfloat16", quantized_inference=quantized)
     state, bundle = create_train_state(cfg, jax.random.PRNGKey(0), (hw, hw), 1)
     dev = jax.devices()[0]
     state = jax.device_put(state, dev)
@@ -142,6 +143,8 @@ def main():
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--skip", type=str, default="")
     p.add_argument("--platform", type=str, default="")
+    p.add_argument("--no-extras", action="store_true",
+                   help="skip the int8 variant and the 4096/8192 ladder")
     args = p.parse_args()
 
     import jax
@@ -173,6 +176,22 @@ def main():
     if 5 not in skip:
         results["5_highres_2048px_img_per_s"] = round(bench_highres(max(2, args.iters // 2)), 3)
         print(json.dumps({"config": 5, "img_per_s": results["5_highres_2048px_img_per_s"]}), flush=True)
+    if not args.no_extras:
+        # tracked variants beyond the five headline configs: the opt-in
+        # int8 full-image path and the high-res strip ladder (auto-routed
+        # to the exact H-strip executor; see infer/strips.py)
+        results["1_inference_512px_int8_img_per_s"] = round(
+            bench_inference(args.iters, quantized="int8"), 2)
+        print(json.dumps({"config": "1-int8", "img_per_s": results["1_inference_512px_int8_img_per_s"]}), flush=True)
+        results["5_highres_2048px_b1_img_per_s"] = round(
+            bench_highres(max(2, args.iters // 2), batch=1), 3)
+        print(json.dumps({"config": "5-b1", "img_per_s": results["5_highres_2048px_b1_img_per_s"]}), flush=True)
+        results["5_highres_4096px_b1_img_per_s"] = round(
+            bench_highres(max(2, args.iters // 2), hw=4096, batch=1), 3)
+        print(json.dumps({"config": "5-4096", "img_per_s": results["5_highres_4096px_b1_img_per_s"]}), flush=True)
+        results["5_highres_8192px_b1_img_per_s"] = round(
+            bench_highres(max(2, args.iters // 3), hw=8192, batch=1), 3)
+        print(json.dumps({"config": "5-8192", "img_per_s": results["5_highres_8192px_b1_img_per_s"]}), flush=True)
     print(json.dumps({"summary": results}))
 
 

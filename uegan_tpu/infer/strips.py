@@ -173,6 +173,13 @@ def _refix_outer_slab_halos(t: Array, n: int, s: int, edge: int, c=None) -> Arra
     else:
         top, _ = _packed_pad_rows_top_bot(tr[:, 0, edge:], edge, c)
         _, bot = _packed_pad_rows_top_bot(tr[:, -1, : hs - edge], edge, c)
+    # Cost record (2048px B=4, r4): the norefix ablation prices the three
+    # refixes at ~1.5 img/s (20.88 vs 19.40 exact).  Two targeted fixes
+    # measured NEUTRAL: an optimization_barrier between pad-build and the
+    # updates (in-place-DUS hypothesis; 19.36) and the static two-slab exit
+    # refix (kept — strictly fewer writes).  The residual cost is the
+    # serialization the refix inserts between the big entry convs, not the
+    # pad construction (that was fixed by the channel-half pad form).
     tr = tr.at[:, 0, :edge].set(top)
     tr = tr.at[:, -1, hs - edge :].set(bot)
     return tr.reshape(t.shape)
@@ -464,7 +471,11 @@ def make_strip_eval(bundle, packed: Dict[str, np.ndarray], strip_rows: int,
         xp = space_to_depth_rows(x.astype(dt))  # (N, Hp, Wp, 12)
 
         # ---- entry strips: enc1, enc2, enc3 (the full-height convs) ----
-        if qt is not None:
+        # (entry_int8=False in the tables keeps the entry chain bf16 while
+        # the exit chain still quantizes — A/B lever: the entry's
+        # quantize->conv->dequant->requantize chain adds full-tensor passes
+        # that can outweigh the int8 conv gain at slab shapes)
+        if qt is not None and qt.get("entry_int8", True):
             # int8 entry: quantize the packed input ONCE (slab halos of the
             # int8 tensor equal quantized halos — reflect is pure movement),
             # conv int8 -> dequant+bias+leaky in bf16, requantize for enc2
@@ -738,7 +749,7 @@ def make_strip_eval(bundle, packed: Dict[str, np.ndarray], strip_rows: int,
             return yr.reshape(n * sc, hs_, wp_, y.shape[-1])
 
         def exit_strips(x1c, x2c, xin, m3c, y2wc, m4c, sc, strip_ids, norm1,
-                        norm2, slab_unpack):
+                        norm2, slab_unpack, ids_static=False):
             """dec3..output on ``sc`` strips of every image.
 
             x1c/x2c: (n*sc, r+2E, wp, C) entry slabs; ``xin`` is the packed
@@ -805,8 +816,14 @@ def make_strip_eval(bundle, packed: Dict[str, np.ndarray], strip_rows: int,
                     s0s["dec4_s0"], [cd, cd], p["dec4"]["conv"]["bias"], dt,
                     h_fixups=False, act=leaky)
             # dec5_0 reflect-pads its input y4*x1; x1es halos are reflect
-            # already, so refixing y4s makes the product's halos reflect too
-            y4s = _shard(_refix_exit_halos(y4s, n, strip_ids, s, m, cd))
+            # already, so refixing y4s makes the product's halos reflect too.
+            # When this call covers ALL strips (unchunked — ids_static), the
+            # border slabs are statically known, so the cheap two-slab refix
+            # applies; the traced-ids form builds+masks pads for every slab.
+            if ids_static:
+                y4s = _shard(_refix_outer_slab_halos(y4s, n, s, m, c=cd))
+            else:
+                y4s = _shard(_refix_exit_halos(y4s, n, strip_ids, s, m, cd))
             if qt is not None:
                 ress = strip_dec5_q(quantize_act(y4s * x1es, qsc["mod"]),
                                     sc, strip_ids)
@@ -839,7 +856,8 @@ def make_strip_eval(bundle, packed: Dict[str, np.ndarray], strip_rows: int,
             outs = exit_strips(x1s, x2s,
                                xin_all.reshape(n * s, r, wp, xp.shape[-1]),
                                mats3, y2w, mats4, s,
-                               jnp.arange(s), None, None, slab_unpack)
+                               jnp.arange(s), None, None, slab_unpack,
+                               ids_static=True)
             if slab_unpack:
                 return _unslab(outs, n, s)
             return depth_to_space(_unslab(outs, n, s))

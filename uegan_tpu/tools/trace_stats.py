@@ -50,16 +50,19 @@ def find_xplane(trace_dir: str) -> str:
 _FUSION_RE = re.compile(r"\.\d+$")
 
 
-def device_op_table(xs, device_substr: str = "TPU"):
-    """Aggregate event durations by op name on the device plane.
+def device_op_table(xs, device_substr: str = "TPU", line_substr: str = "XLA Ops"):
+    """Aggregate event durations by op name on one device-plane line.
 
-    Returns (rows, total_ps): rows are (name, total_ps, count), sorted by
-    time desc.  XLA thread lines on the device plane overlap (each line is a
-    core/stream); durations are summed per op across lines — self-time within
-    a fusion is XLA's own accounting.
+    Returns (rows, total_ps, async_ps): rows are (name, total_ps, count)
+    from the line whose name contains ``line_substr``, sorted by time desc.
+    The TPU device plane has a SERIAL timeline line ('XLA Ops' — its busy
+    time IS wall device time) and an 'Async XLA Ops' line whose copy-start
+    DMAs overlap the serial line; summing both double-counts and makes
+    copies look dominant.  ``async_ps`` reports the async line's busy time
+    separately (DMA-engine pressure, hidden under compute unless ~100%).
     """
     rows = defaultdict(lambda: [0, 0])
-    total = 0
+    async_ps = 0
     for p in xs.planes:
         if device_substr not in p.name:
             continue
@@ -69,6 +72,11 @@ def device_op_table(xs, device_substr: str = "TPU"):
         if not meta:
             meta = {mid: m.name for mid, m in p.event_metadata.items()}
         for line in p.lines:
+            if "Async" in line.name:
+                async_ps += sum(ev.duration_ps for ev in line.events)
+                continue
+            if line_substr not in line.name:
+                continue
             for ev in line.events:
                 name = meta.get(ev.metadata_id, str(ev.metadata_id))
                 rows[name][0] += ev.duration_ps
@@ -76,8 +84,7 @@ def device_op_table(xs, device_substr: str = "TPU"):
         break
     out = [(k, v[0], v[1]) for k, v in rows.items()]
     out.sort(key=lambda r: -r[1])
-    total = sum(r[1] for r in out)
-    return out, total
+    return out, sum(r[1] for r in out), async_ps
 
 
 _CATEGORIES = (
@@ -111,7 +118,7 @@ def main(argv=None) -> None:
 
     path = find_xplane(args.trace_dir)
     xs = _load_xspace(path)
-    rows, total = device_op_table(xs, args.device)
+    rows, total, async_ps = device_op_table(xs, args.device)
     # module-level wrapper events (jit_<name>) span the whole program on a
     # separate line — drop them from totals so % means share of op time
     rows = [r for r in rows if not r[0].startswith("jit_")]
@@ -131,7 +138,8 @@ def main(argv=None) -> None:
             g[key][1] += n
         rows = sorted(((k, v[0], v[1]) for k, v in g.items()), key=lambda r: -r[1])
     print(f"# {path}")
-    print(f"# device total: {total / 1e9:.3f} ms (all events summed)")
+    print(f"# serial device time: {total / 1e9:.3f} ms ('XLA Ops' line; "
+          f"async DMA busy {async_ps / 1e9:.3f} ms overlapped)")
     print(f"{'ms':>10}  {'%':>5}  {'n':>5}  op")
     for name, ps, n in rows[: args.top]:
         print(f"{ps / 1e9:10.3f}  {100.0 * ps / max(total, 1):5.1f}  {n:5d}  {name[:110]}")

@@ -272,3 +272,28 @@ def test_int8_packed_forward_close_to_bf16():
     psnr = _psnr(got, ref)
     assert psnr >= 30.0, f"int8-vs-bf16 PSNR {psnr:.2f} dB"
     assert not np.array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_int8_u8_out_bitwise():
+    """make_int8_eval(u8_out=True) == device_quantize_u8(int8 float output)
+    bit-for-bit (the quantize commutes with the final depth_to_space)."""
+    import jax
+    import jax.numpy as jnp
+
+    from uegan_tpu.config import Config
+    from uegan_tpu.infer.quantized import make_int8_eval
+    from uegan_tpu.train.state import create_train_state
+    from uegan_tpu.utils.image_io import device_quantize_u8
+
+    cfg = Config(compute_dtype="float32")
+    state, bundle = create_train_state(cfg, jax.random.PRNGKey(0), (64, 64), 1)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(-1, 1, (2, 64, 64, 3)).astype(np.float32))
+    want = np.asarray(jax.jit(device_quantize_u8)(
+        jax.jit(make_int8_eval(bundle, state.g_params))(
+            state.g_params, state.g_extra, x)))
+    got = np.asarray(jax.jit(make_int8_eval(
+        bundle, state.g_params, u8_out=True))(
+            state.g_params, state.g_extra, x))
+    assert got.dtype == np.uint8
+    np.testing.assert_array_equal(got, want)

@@ -187,3 +187,30 @@ def test_fast_eval_routes_to_strips(rng):
     got = np.asarray(jax.jit(make_fast_eval(bundle, state.g_params))(
         g_params, state.g_extra, x))
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_strip_u8_out_bitwise(rng):
+    """u8_out quantizes BEFORE the final depth_to_space/reassembly; being
+    pointwise it commutes with the pure-movement unpack, so the result must
+    be BIT-identical to quantizing the float strip output — for the
+    unchunked, chunked, and fast-eval-routed forms."""
+    from uegan_tpu.infer.packed import make_fast_eval
+    from uegan_tpu.utils.image_io import device_quantize_u8
+
+    state, bundle, g_params, packed = _setup((96, 64))
+    x = jnp.asarray(rng.uniform(-1, 1, (1, 96, 64, 3)).astype(np.float32))
+    want = np.asarray(jax.jit(device_quantize_u8)(
+        jax.jit(make_strip_eval(bundle, packed, 16))(g_params, x)))
+    got = np.asarray(jax.jit(
+        make_strip_eval(bundle, packed, 16, u8_out=True))(g_params, x))
+    assert got.dtype == np.uint8
+    np.testing.assert_array_equal(got, want)
+    got_ch = np.asarray(jax.jit(
+        make_strip_eval(bundle, packed, 16, 2, u8_out=True))(g_params, x))
+    np.testing.assert_array_equal(got_ch, want)
+
+    cfg = Config(compute_dtype="float32", strip_rows=16)
+    state, bundle = create_train_state(cfg, jax.random.PRNGKey(0), (96, 64), 1)
+    routed = np.asarray(jax.jit(make_fast_eval(
+        bundle, state.g_params, u8_output=True))(g_params, state.g_extra, x))
+    np.testing.assert_array_equal(routed, want)

@@ -875,7 +875,7 @@ def packed_s0_statics() -> Dict[str, int]:
 
 
 def make_packed_eval(bundle, packed: Dict[str, np.ndarray] = None,
-                     l2_interior: bool = False):
+                     l2_interior: bool = False, u8_out: bool = False):
     """Jittable packed forward: fn(params, x) -> enhanced.
 
     ``packed`` comes from :func:`pack_generator_params` and is closed over as
@@ -1145,8 +1145,20 @@ def make_packed_eval(bundle, packed: Dict[str, np.ndarray] = None,
         if use_pallas_bound:
             from uegan_tpu.ops.pallas.s2d_fuse import residual_tail_d2s
 
-            return residual_tail_d2s(res, xp)  # fused add+clip+d2s, one pass
+            y = residual_tail_d2s(res, xp)  # fused add+clip+d2s, one pass
+            if u8_out:
+                from uegan_tpu.utils.image_io import device_quantize_u8
+
+                y = device_quantize_u8(y)
+            return y
         out = jnp.clip(res.astype(jnp.float32) + xp.astype(jnp.float32), -1.0, 1.0)
+        if u8_out:
+            # quantize in the packed domain (pointwise — commutes with the
+            # pure-movement d2s, and bit-identical to quantizing the bf16
+            # image): the interleave copies + d2h fetch then move uint8
+            from uegan_tpu.utils.image_io import device_quantize_u8
+
+            return depth_to_space(device_quantize_u8(out.astype(dt)))
         return depth_to_space(out.astype(dt))
 
     return fn
@@ -1156,7 +1168,7 @@ def make_packed_eval(bundle, packed: Dict[str, np.ndarray] = None,
 packed_resize2x = packed_resize2x_align_corners
 
 
-def make_fast_eval(bundle, g_params, calib_batch=None):
+def make_fast_eval(bundle, g_params, calib_batch=None, u8_output=False):
     """Best inference forward for this config: packed when eligible
     (default generator config), else the canonical eval step.
 
@@ -1166,6 +1178,12 @@ def make_fast_eval(bundle, g_params, calib_batch=None):
     calibration when quantized inference is enabled — pass real images for
     production quality (the tester passes its first batch); ignored
     otherwise.
+
+    ``u8_output``: return PNG-ready uint8 instead of [-1,1] float — the
+    serving/tester fast path.  On the packed/strip paths the quantize is
+    fused BEFORE the final depth_to_space (pointwise, commutes with pure
+    movement; bit-identical to quantizing the returned bf16 image), so the
+    lane-starved interleave copies and the d2h fetch move half the bytes.
     """
     from uegan_tpu.train.step import make_eval_step
 
@@ -1177,7 +1195,12 @@ def make_fast_eval(bundle, g_params, calib_batch=None):
         and not gm.use_sn
     )
     if not eligible:
-        return make_eval_step(bundle)
+        base = make_eval_step(bundle)
+        if not u8_output:
+            return base
+        from uegan_tpu.utils.image_io import device_quantize_u8
+
+        return lambda p, e, x: device_quantize_u8(base(p, e, x))
     qi = getattr(bundle.config, "quantized_inference", "")
     strip_cfg = getattr(bundle.config, "strip_rows", 0)
     if qi in ("int8", "int8_pallas"):
@@ -1185,7 +1208,7 @@ def make_fast_eval(bundle, g_params, calib_batch=None):
 
         tabs = build_quant_tables(bundle, g_params, calib_batch)
         int8_fn = make_int8_eval(bundle, g_params, use_pallas=qi == "int8_pallas",
-                                 tables=tabs)
+                                 tables=tabs, u8_out=u8_output)
 
         def routed_q(params, extra, x):
             # huge images route to the int8 STRIP executor (same shape gate
@@ -1200,13 +1223,14 @@ def make_fast_eval(bundle, g_params, calib_batch=None):
                 if (r and hp % r == 0 and hp >= 2 * r and r % 2 == 0
                         and r > 2 * _M_EXIT):
                     chunks = getattr(bundle.config, "strip_chunks", 0)
-                    return make_int8_strip_eval(bundle, tabs, r, chunks)(
+                    return make_int8_strip_eval(bundle, tabs, r, chunks,
+                                                u8_out=u8_output)(
                         params, extra, x)
             return int8_fn(params, extra, x)
 
         return routed_q
     packed = pack_generator_params(jax.device_get(g_params), gm.conv_dim)
-    packed_fn = make_packed_eval(bundle, packed)
+    packed_fn = make_packed_eval(bundle, packed, u8_out=u8_output)
 
     def routed(params, extra, x):
         # huge images: route to the exact H-strip executor (infer/strips.py)
@@ -1224,7 +1248,8 @@ def make_fast_eval(bundle, g_params, calib_batch=None):
             if (r and hp % r == 0 and hp >= 2 * r and r % 2 == 0
                     and r > 2 * _M_EXIT):
                 chunks = getattr(bundle.config, "strip_chunks", 0)
-                return make_strip_eval(bundle, packed, r, chunks)(params, x)
+                return make_strip_eval(bundle, packed, r, chunks,
+                                       u8_out=u8_output)(params, x)
         return packed_fn(params, x)
 
     return routed

@@ -394,6 +394,7 @@ def make_int8_eval(
     calib_batch: Optional[np.ndarray] = None,
     use_pallas: bool = False,
     tables: Optional[Dict] = None,
+    u8_out: bool = False,
 ):
     """Build the int8 packed inference forward: fn(params, extra, x).
 
@@ -541,6 +542,12 @@ def make_int8_eval(
         else:
             res = seq_tail(modq)
         out = jnp.clip(res.astype(jnp.float32) + xp.astype(jnp.float32), -1.0, 1.0)
+        if u8_out:
+            # PNG-ready output: quantize before the pure-movement d2s
+            # (commutes; bit-identical to quantizing the bf16 image)
+            from uegan_tpu.utils.image_io import device_quantize_u8
+
+            return depth_to_space(device_quantize_u8(out.astype(dt)))
         return depth_to_space(out.astype(dt))
 
     return fn

@@ -345,8 +345,14 @@ def pick_strip_chunks(n: int, s: int, hs: int, wp: int) -> int:
 
 def make_strip_eval(bundle, packed: Dict[str, np.ndarray], strip_rows: int,
                     chunk_strips: int = 0, quant: Dict = None,
-                    slab_sharding=None):
+                    slab_sharding=None, u8_out: bool = False):
     """Jittable strip-wise packed forward: fn(params, x) -> enhanced.
+
+    ``u8_out``: return PNG-ready uint8 instead of [-1,1] float.  The
+    quantize (utils.image_io.device_quantize_u8 on the bf16 value — bit
+    identical to quantizing the float output) runs BEFORE the final
+    depth_to_space/reassembly, so the lane-starved interleave copies and
+    the device->host fetch move uint8 bytes (2x less than bf16).
 
     Same contract and numerics as make_packed_eval's fn (exactness is
     test-enforced); only valid for the default generator config and for
@@ -830,12 +836,19 @@ def make_strip_eval(bundle, packed: Dict[str, np.ndarray], strip_rows: int,
             else:
                 ress = strip_dec5(y4s * x1es, sc, strip_ids)
             outs = jnp.clip(ress[:, m : m + r].astype(jnp.float32)
-                            + xin.astype(jnp.float32), -1.0, 1.0)
+                            + xin.astype(jnp.float32), -1.0, 1.0).astype(dt)
+            if u8_out:
+                # quantize BEFORE the unpack/reassembly: pointwise, so it
+                # commutes with the pure-movement d2s — all downstream
+                # copies and the d2h fetch then move uint8 bytes
+                from uegan_tpu.utils.image_io import device_quantize_u8
+
+                outs = device_quantize_u8(outs)
             # the unpack commutes with reassembly (strips are whole packed
             # rows), so it can run per slab — see _SLAB_UNPACK_MIN
             if slab_unpack:
-                return depth_to_space(outs.astype(dt))
-            return outs.astype(dt)
+                return depth_to_space(outs)
+            return outs
 
         if slab_sharding is not None:
             cs = s  # sharded slabs: every strip lives on its device, no chunking
@@ -921,15 +934,16 @@ def make_strip_eval(bundle, packed: Dict[str, np.ndarray], strip_rows: int,
 
 
 def make_strip_fast_eval(bundle, g_params, strip_rows: int,
-                         chunk_strips: int = 0):
+                         chunk_strips: int = 0, u8_out: bool = False):
     """make_fast_eval-shaped wrapper: fn(params, extra, x)."""
     packed = pack_generator_params(jax.device_get(g_params), bundle.g_model.conv_dim)
-    fn = make_strip_eval(bundle, packed, strip_rows, chunk_strips)
+    fn = make_strip_eval(bundle, packed, strip_rows, chunk_strips,
+                         u8_out=u8_out)
     return lambda params, extra, x: fn(params, x)
 
 
 def make_int8_strip_eval(bundle, tables: Dict, strip_rows: int,
-                         chunk_strips: int = 0):
+                         chunk_strips: int = 0, u8_out: bool = False):
     """int8 strip executor from prebuilt quant tables
     (``infer.quantized.build_quant_tables``): fn(params, extra, x).
 
@@ -939,5 +953,5 @@ def make_int8_strip_eval(bundle, tables: Dict, strip_rows: int,
     ``Config.quantized_inference`` like the full-image path.
     """
     fn = make_strip_eval(bundle, tables["pk"], strip_rows, chunk_strips,
-                         quant=tables)
+                         quant=tables, u8_out=u8_out)
     return lambda params, extra, x: fn(params, x)

@@ -207,11 +207,12 @@ class _Models:
                 # (3.6x e2e measured on a transfer-bound link; see
                 # OPTIMIZATION_NOTES.md "uint8 device I/O")
                 from uegan_tpu.data.pipeline import device_normalize
-                from uegan_tpu.train.tester import _quantize_u8
 
-                base = make_fast_eval(bundle, state.g_params)
+                # u8_output fuses the PNG quantize before the packed final
+                # depth_to_space (bit-identical; infer/packed.py)
+                base = make_fast_eval(bundle, state.g_params, u8_output=True)
                 fn = jax.jit(
-                    lambda p, e, x: _quantize_u8(base(p, e, device_normalize(x)))
+                    lambda p, e, x: base(p, e, device_normalize(x))
                 )
                 st = state
                 self._enhancer = (fn, st)

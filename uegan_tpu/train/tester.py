@@ -109,9 +109,12 @@ class Tester:
 
             if calib_batch is not None and np.asarray(calib_batch).dtype == np.uint8:
                 calib_batch = _host_norm_u8(calib_batch)
-            base = make_fast_eval(self.bundle, self.state.g_params, calib_batch=calib_batch)
+            # u8_output fuses the quantize BEFORE the packed paths' final
+            # depth_to_space (bit-identical; infer/packed.py:make_fast_eval)
+            base = make_fast_eval(self.bundle, self.state.g_params,
+                                  calib_batch=calib_batch, u8_output=True)
             self._fast_u8_fn = jax.jit(
-                lambda p, e, x: _quantize_u8(base(p, e, device_normalize(x)))
+                lambda p, e, x: base(p, e, device_normalize(x))
             )
         return self._fast_u8_fn
 

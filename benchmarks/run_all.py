@@ -126,14 +126,19 @@ def bench_highres(iters: int, hw: int = 2048, batch: int = 4):
     cfg = Config(compute_dtype="bfloat16")
     state, bundle = create_train_state(cfg, jax.random.PRNGKey(0), (hw, hw), 1)
     dev = jax.devices()[0]
-    state = jax.device_put(state, dev)
-    fn = jax.jit(make_fast_eval(bundle, state.g_params))
+    # inference bench: keep ONLY the generator params/extra on device — the
+    # D params, Adam moments and the image pool (hw-sized!) otherwise eat
+    # hundreds of MB and tip the 4096px strip executor into OOM
+    gp = jax.device_put(jax.device_get(state.g_params), dev)
+    ge = jax.device_put(jax.device_get(state.g_extra), dev)
+    fn = jax.jit(make_fast_eval(bundle, gp))
+    del state
     x = jax.device_put(np.random.default_rng(0).uniform(-1, 1, (batch, hw, hw, 3)).astype("float32"), dev)
-    r = fn(state.g_params, state.g_extra, x)
+    r = fn(gp, ge, x)
     _force(r)
     t0 = time.perf_counter()
     for _ in range(iters):
-        r = fn(state.g_params, state.g_extra, x)
+        r = fn(gp, ge, x)
     _force(r)
     return batch * iters / (time.perf_counter() - t0)
 
@@ -186,12 +191,33 @@ def main():
         results["5_highres_2048px_b1_img_per_s"] = round(
             bench_highres(max(2, args.iters // 2), batch=1), 3)
         print(json.dumps({"config": "5-b1", "img_per_s": results["5_highres_2048px_b1_img_per_s"]}), flush=True)
-        results["5_highres_4096px_b1_img_per_s"] = round(
-            bench_highres(max(2, args.iters // 2), hw=4096, batch=1), 3)
-        print(json.dumps({"config": "5-4096", "img_per_s": results["5_highres_4096px_b1_img_per_s"]}), flush=True)
-        results["5_highres_8192px_b1_img_per_s"] = round(
-            bench_highres(max(2, args.iters // 3), hw=8192, batch=1), 3)
-        print(json.dumps({"config": "5-8192", "img_per_s": results["5_highres_8192px_b1_img_per_s"]}), flush=True)
+        # 4096/8192 run in fresh subprocesses: after the five in-process
+        # configs the device heap is fragmented enough that the 4096 entry
+        # slabs RESOURCE_EXHAUST (measured r4); a clean process fits fine
+        import subprocess
+
+        for hw, key in ((4096, "5_highres_4096px_b1_img_per_s"),
+                        (8192, "5_highres_8192px_b1_img_per_s")):
+            code = (
+                "import sys; sys.path.insert(0, %r); sys.argv=['x']; "
+                "import jax; jax.config.update('jax_compilation_cache_dir', '/tmp/jax_cache_uegan'); "
+                "from benchmarks.run_all import bench_highres; "
+                "print('RESULT', round(bench_highres(%d, hw=%d, batch=1), 3))"
+                % (os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   max(2, args.iters // (3 if hw == 8192 else 2)), hw)
+            )
+            out = subprocess.run([sys.executable, "-c", code],
+                                 capture_output=True, text=True, timeout=3600)
+            val = None
+            for ln in out.stdout.splitlines():
+                if ln.startswith("RESULT "):
+                    val = float(ln.split()[1])
+            if val is None:
+                print(json.dumps({"config": f"5-{hw}", "error":
+                                  out.stderr.strip()[-300:]}), flush=True)
+                continue
+            results[key] = val
+            print(json.dumps({"config": f"5-{hw}", "img_per_s": val}), flush=True)
     print(json.dumps({"summary": results}))
 
 

@@ -61,16 +61,28 @@ def device_op_table(xs, device_substr: str = "TPU", line_substr: str = "XLA Ops"
     copies look dominant.  ``async_ps`` reports the async line's busy time
     separately (DMA-engine pressure, hidden under compute unless ~100%).
     """
-    rows = defaultdict(lambda: [0, 0])
+    rows = defaultdict(lambda: [0, 0, None, 0, 0])  # ps, n, hlo_cat, flops, bytes
     async_ps = 0
     for p in xs.planes:
         if device_substr not in p.name:
             continue
-        meta = {m.id: m.name for m in p.event_metadata.values()} if hasattr(
-            p.event_metadata, "values"
-        ) else {}
-        if not meta:
-            meta = {mid: m.name for mid, m in p.event_metadata.items()}
+        meta = {mid: m for mid, m in p.event_metadata.items()}
+        smeta = {sid: s.name for sid, s in p.stat_metadata.items()}
+
+        def op_stats(m):
+            """(hlo_category, flops, bytes_accessed) from XLA's own per-op
+            metadata stats — authoritative, unlike name heuristics."""
+            cat, fl, by = None, 0, 0
+            for s in m.stats:
+                key = smeta.get(s.metadata_id, "")
+                if key == "hlo_category":
+                    cat = s.str_value
+                elif key == "flops":
+                    fl = s.int64_value
+                elif key == "bytes_accessed":
+                    by = s.int64_value
+            return cat, fl, by
+
         for line in p.lines:
             if "Async" in line.name:
                 async_ps += sum(ev.duration_ps for ev in line.events)
@@ -78,31 +90,25 @@ def device_op_table(xs, device_substr: str = "TPU", line_substr: str = "XLA Ops"
             if line_substr not in line.name:
                 continue
             for ev in line.events:
-                name = meta.get(ev.metadata_id, str(ev.metadata_id))
-                rows[name][0] += ev.duration_ps
-                rows[name][1] += 1
+                m = meta.get(ev.metadata_id)
+                name = m.name if m is not None else str(ev.metadata_id)
+                r = rows[name]
+                r[0] += ev.duration_ps
+                r[1] += 1
+                if r[2] is None and m is not None:
+                    r[2], r[3], r[4] = op_stats(m)
         break
-    out = [(k, v[0], v[1]) for k, v in rows.items()]
+    # flops/bytes are PER-EXECUTION metadata: scale by the event count
+    out = [(k, v[0], v[1], v[2] or "?", (v[3] or 0) * v[1], (v[4] or 0) * v[1])
+           for k, v in rows.items()]
     out.sort(key=lambda r: -r[1])
     return out, sum(r[1] for r in out), async_ps
 
 
-_CATEGORIES = (
-    ("convolution", ("convolution", "conv_")),
-    ("matmul/einsum", ("dot", "einsum")),
-    ("copy/layout", ("copy", "slice-start", "bitcast", "transpose", "all-to-all")),
-    ("dus/border", ("dynamic-update-slice", "dynamic_update_slice")),
-    ("pad/select", ("pad", "select", "compare")),
-    ("reduce", ("reduce",)),
-)
-
-
-def categorize(name: str) -> str:
-    low = name.lower()
-    for cat, keys in _CATEGORIES:
-        if any(k in low for k in keys):
-            return cat
-    return "other"
+# NOTE: category attribution comes from XLA's own per-op `hlo_category`
+# stat (see device_op_table) — name-keyword heuristics were retired after
+# they mislabeled pad-fused convs whose HLO text mentions copy operands,
+# inflating the copy/layout share to 60-75%.
 
 
 def main(argv=None) -> None:
@@ -113,7 +119,10 @@ def main(argv=None) -> None:
     ap.add_argument("--group", action="store_true",
                     help="merge numbered op variants (foo.1, foo.2) into one row")
     ap.add_argument("--categories", action="store_true",
-                    help="aggregate by op category (conv / copy / reduce / ...)")
+                    help="aggregate by XLA's own hlo_category with achieved "
+                         "TF/s and GB/s per category (the roofline view)")
+    ap.add_argument("--steps", type=int, default=0,
+                    help="number of profiled steps: also print per-step time")
     args = ap.parse_args(argv)
 
     path = find_xplane(args.trace_dir)
@@ -123,26 +132,46 @@ def main(argv=None) -> None:
     # separate line — drop them from totals so % means share of op time
     rows = [r for r in rows if not r[0].startswith("jit_")]
     total = sum(r[1] for r in rows)
-    if args.categories:
-        g = defaultdict(lambda: [0, 0])
-        for name, ps, n in rows:
-            key = categorize(name)
-            g[key][0] += ps
-            g[key][1] += n
-        rows = sorted(((k, v[0], v[1]) for k, v in g.items()), key=lambda r: -r[1])
-    if args.group:
-        g = defaultdict(lambda: [0, 0])
-        for name, ps, n in rows:
-            key = _FUSION_RE.sub("", name)
-            g[key][0] += ps
-            g[key][1] += n
-        rows = sorted(((k, v[0], v[1]) for k, v in g.items()), key=lambda r: -r[1])
     print(f"# {path}")
     print(f"# serial device time: {total / 1e9:.3f} ms ('XLA Ops' line; "
           f"async DMA busy {async_ps / 1e9:.3f} ms overlapped)")
-    print(f"{'ms':>10}  {'%':>5}  {'n':>5}  op")
-    for name, ps, n in rows[: args.top]:
-        print(f"{ps / 1e9:10.3f}  {100.0 * ps / max(total, 1):5.1f}  {n:5d}  {name[:110]}")
+    if args.steps:
+        print(f"# per step ({args.steps}): {total / 1e9 / args.steps:.3f} ms")
+    if args.categories:
+        g = defaultdict(lambda: [0, 0, 0, 0])
+        for name, ps, n, cat, fl, by in rows:
+            r = g[cat]
+            r[0] += ps
+            r[1] += n
+            r[2] += fl
+            r[3] += by
+        print(f"{'ms':>10}  {'%':>5}  {'n':>6}  {'TF/s':>7}  {'GB/s':>7}  hlo_category")
+        for cat, (ps, n, fl, by) in sorted(g.items(), key=lambda kv: -kv[1][0]):
+            sec = ps / 1e12
+            tfs = fl / sec / 1e12 if sec else 0.0
+            gbs = by / sec / 1e9 if sec else 0.0
+            print(f"{ps / 1e9:10.3f}  {100.0 * ps / max(total, 1):5.1f}  {n:6d}  "
+                  f"{tfs:7.1f}  {gbs:7.0f}  {cat}")
+        return
+    if args.group:
+        g = defaultdict(lambda: [0, 0, "?", 0, 0])
+        for name, ps, n, cat, fl, by in rows:
+            key = _FUSION_RE.sub("", name)
+            r = g[key]
+            r[0] += ps
+            r[1] += n
+            r[2] = cat
+            r[3] += fl
+            r[4] += by
+        rows = sorted(((k, v[0], v[1], v[2], v[3], v[4]) for k, v in g.items()),
+                      key=lambda r: -r[1])
+    print(f"{'ms':>10}  {'%':>5}  {'n':>5}  {'TF/s':>7}  {'GB/s':>7}  op [category]")
+    for name, ps, n, cat, fl, by in rows[: args.top]:
+        sec = ps / 1e12
+        tfs = fl / sec / 1e12 if sec else 0.0
+        gbs = by / sec / 1e9 if sec else 0.0
+        print(f"{ps / 1e9:10.3f}  {100.0 * ps / max(total, 1):5.1f}  {n:5d}  "
+              f"{tfs:7.1f}  {gbs:7.0f}  [{cat}] {name[:95]}")
 
 
 if __name__ == "__main__":

@@ -24,8 +24,8 @@ import time
 A100_PYTORCH_IMG_PER_SEC_EST = 120.0
 BATCH = 128  # measured throughput sweet spot.  Sweep history on the v5e:
              # r1 (439-era graph) 32: 388 / 96: 408-421 / 128: 439 / 160:
-             # 399; re-swept r4 at the 620+-era graph — B=128 still best
-             # (see benchmarks/RESULTS_r4.json)
+             # 399; re-swept r4 at the 630-era graph: 96: 582 / 128: 632 /
+             # 160: 583 — B=128 still best
 HW = 512
 WARMUP = 3
 ITERS = 4

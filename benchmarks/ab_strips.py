@@ -58,8 +58,9 @@ if int8:
 
     _renorm(host_params)
     tabs = build_quant_tables(bundle, host_params)
-    if "exitonly" in sys.argv[6:]:
-        tabs["entry_int8"] = False  # bf16 entry chain, int8 exit chain
+    if "entryint8" in sys.argv[6:]:
+        tabs["entry_int8"] = True  # re-measure the full-int8 form (the
+        # default is the bf16-entry hybrid, 19.76 vs 17.75 at 2048 B=4)
     fq = jax.jit(make_strip_eval(bundle, tabs["pk"], r, chunks, quant=tabs))
     g_params = jax.device_put(
         jax.tree_util.tree_map(np.asarray, host_params), dev)

@@ -383,9 +383,16 @@ def build_quant_tables(bundle, g_params, calib_batch: Optional[np.ndarray] = Non
         "excite": g("ga1", "excite", "kernel")[0, 0],
         "fuse_h": g("ga1", "fuse", "kernel")[0, 0, cd:, :],
     }
+    # entry_int8 governs the STRIP executor only (the full-image path
+    # quantizes everything).  Default False = bf16 entry chain + int8 exit
+    # chain, the measured-best hybrid at 2048px B=4: full int8 17.75 /
+    # bf16 19.40 / hybrid 19.76 img/s — the entry chain's
+    # quantize->conv->requant passes on the big slab tensors cost more
+    # than the int8 conv saves (movement-bound; OPTIMIZATION_NOTES r4),
+    # while the exit chain's dec5 deep head still banks the MXU 2x.
     return {"q": q, "w": w, "sc": sc, "b": biases,
             "b9": np.asarray(pk["dec5c_b"], np.float32), "se": se,
-            "host": host, "pk": pk}
+            "host": host, "pk": pk, "entry_int8": False}
 
 
 def make_int8_eval(

@@ -477,10 +477,12 @@ def make_strip_eval(bundle, packed: Dict[str, np.ndarray], strip_rows: int,
         xp = space_to_depth_rows(x.astype(dt))  # (N, Hp, Wp, 12)
 
         # ---- entry strips: enc1, enc2, enc3 (the full-height convs) ----
-        # (entry_int8=False in the tables keeps the entry chain bf16 while
-        # the exit chain still quantizes — A/B lever: the entry's
-        # quantize->conv->dequant->requantize chain adds full-tensor passes
-        # that can outweigh the int8 conv gain at slab shapes)
+        # entry_int8=False (the build_quant_tables default) keeps the entry
+        # chain bf16 while the exit chain still quantizes: measured-best at
+        # 2048 B=4 (full int8 17.75 / bf16 19.40 / hybrid 19.76 img/s) —
+        # the entry's quantize->conv->dequant->requantize chain adds
+        # full-tensor passes on the movement-bound slabs that outweigh the
+        # int8 conv gain, while the exit's deep dec5 head keeps the MXU 2x
         if qt is not None and qt.get("entry_int8", True):
             # int8 entry: quantize the packed input ONCE (slab halos of the
             # int8 tensor equal quantized halos — reflect is pure movement),

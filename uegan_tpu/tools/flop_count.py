@@ -32,6 +32,9 @@ def main(argv=None) -> None:
     p.add_argument("--batch", type=int, default=128)
     p.add_argument("--platform", type=str, default="cpu",
                    help="compile backend (cost analysis is backend-stable)")
+    p.add_argument("--remat", action="store_true",
+                   help="train graph: count the remat (recompute) FLOPs the "
+                        "512px data-parallel config actually executes")
     args = p.parse_args(argv)
 
     import jax
@@ -45,7 +48,8 @@ def main(argv=None) -> None:
     from uegan_tpu.config import Config
     from uegan_tpu.train.state import create_train_state
 
-    cfg = Config(compute_dtype="bfloat16")
+    cfg = Config(compute_dtype="bfloat16", remat=args.remat,
+                 train_batch_size=args.batch)
     state, bundle = create_train_state(
         cfg, jax.random.PRNGKey(0), (args.hw, args.hw), 1)
     x = np.zeros((args.batch, args.hw, args.hw, 3), np.float32)

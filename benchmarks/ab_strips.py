@@ -61,14 +61,16 @@ if int8:
     if "entryint8" in sys.argv[6:]:
         tabs["entry_int8"] = True  # re-measure the full-int8 form (the
         # default is the bf16-entry hybrid, 19.76 vs 17.75 at 2048 B=4)
-    fq = jax.jit(make_strip_eval(bundle, tabs["pk"], r, chunks, quant=tabs))
+    fq = jax.jit(make_strip_eval(bundle, tabs["pk"], r, chunks, quant=tabs,
+                             entry_chunked="entrychunk" in sys.argv[6:]))
     g_params = jax.device_put(
         jax.tree_util.tree_map(np.asarray, host_params), dev)
     f = fq
 else:
     g_params = jax.device_put(state.g_params, dev)
     pk = pack_generator_params(host_params, cfg.g_conv_dim)
-    f = jax.jit(make_strip_eval(bundle, pk, r, chunks))
+    f = jax.jit(make_strip_eval(bundle, pk, r, chunks,
+                                entry_chunked="entrychunk" in sys.argv[6:]))
 out = None
 for _ in range(2):
     out = f(g_params, x)

@@ -305,3 +305,30 @@ def test_int8_u8_out_bitwise():
             state.g_params, state.g_extra, x))
     assert got.dtype == np.uint8
     np.testing.assert_array_equal(got, want)
+
+
+def test_int8_strips_entry_chunked_matches():
+    """The int8 (hybrid) strip executor with entry_chunked=True — the
+    beyond-8192px memory mode — is bit-equal to its entry-resident chunked
+    form (the entry recompute is the same bf16 ops on the same inputs)."""
+    import jax
+    import jax.numpy as jnp
+
+    from uegan_tpu.config import Config
+    from uegan_tpu.infer.quantized import build_quant_tables
+    from uegan_tpu.infer.strips import make_int8_strip_eval
+    from uegan_tpu.train.state import create_train_state
+
+    cfg = Config(compute_dtype="bfloat16")
+    state, bundle = create_train_state(cfg, jax.random.PRNGKey(0), (128, 128), 1)
+    g_params = jax.device_get(state.g_params)
+    _renorm(g_params)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.uniform(-1, 1, (1, 128, 128, 3)).astype(np.float32))
+    tabs = build_quant_tables(bundle, g_params, np.asarray(x))
+    res = np.asarray(jax.jit(make_int8_strip_eval(
+        bundle, tabs, 16, chunk_strips=2))(g_params, None, x), np.float32)
+    ecv = np.asarray(jax.jit(make_int8_strip_eval(
+        bundle, tabs, 16, chunk_strips=2, entry_chunked=True))(
+            g_params, None, x), np.float32)
+    np.testing.assert_array_equal(ecv, res)

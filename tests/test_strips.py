@@ -214,3 +214,22 @@ def test_strip_u8_out_bitwise(rng):
     routed = np.asarray(jax.jit(make_fast_eval(
         bundle, state.g_params, u8_output=True))(g_params, state.g_extra, x))
     np.testing.assert_array_equal(routed, want)
+
+
+def test_entry_chunked_matches_resident(rng):
+    """entry_chunked recomputes enc1/enc2 per exit chunk (the beyond-8192px
+    memory mode) — identical per-slab ops on identical inputs, so it must
+    be BIT-equal to the entry-resident chunked path and match the unchunked
+    reference to strip tolerance."""
+    state, bundle, g_params, packed = _setup((96, 64))
+    x = jnp.asarray(rng.uniform(-1, 1, (1, 96, 64, 3)).astype(np.float32))
+    un = np.asarray(jax.jit(make_strip_eval(bundle, packed, 16, -1))(g_params, x))
+    res = np.asarray(jax.jit(make_strip_eval(bundle, packed, 16, 2))(g_params, x))
+    ecv = np.asarray(jax.jit(make_strip_eval(
+        bundle, packed, 16, 2, entry_chunked=True))(g_params, x))
+    np.testing.assert_array_equal(ecv, res)
+    np.testing.assert_allclose(ecv, un, rtol=1e-5, atol=1e-5)
+    # inert without a chunked exit (cs >= s): falls back to resident entry
+    ecu = np.asarray(jax.jit(make_strip_eval(
+        bundle, packed, 16, -1, entry_chunked=True))(g_params, x))
+    np.testing.assert_array_equal(ecu, un)

@@ -1224,7 +1224,8 @@ def make_fast_eval(bundle, g_params, calib_batch=None, u8_output=False):
                         and r > 2 * _M_EXIT):
                     chunks = getattr(bundle.config, "strip_chunks", 0)
                     return make_int8_strip_eval(bundle, tabs, r, chunks,
-                                                u8_out=u8_output)(
+                                                u8_out=u8_output,
+                                                entry_chunked=hp > 4096)(
                         params, extra, x)
             return int8_fn(params, extra, x)
 
@@ -1248,8 +1249,12 @@ def make_fast_eval(bundle, g_params, calib_batch=None, u8_output=False):
             if (r and hp % r == 0 and hp >= 2 * r and r % 2 == 0
                     and r > 2 * _M_EXIT):
                 chunks = getattr(bundle.config, "strip_chunks", 0)
+                # past 8192px the resident entry slabs alone exceed HBM —
+                # recompute the entry per exit chunk (strips.make_strip_eval
+                # entry_chunked; bit-equal, ~2x entry FLOPs)
                 return make_strip_eval(bundle, packed, r, chunks,
-                                       u8_out=u8_output)(params, x)
+                                       u8_out=u8_output,
+                                       entry_chunked=hp > 4096)(params, x)
         return packed_fn(params, x)
 
     return routed

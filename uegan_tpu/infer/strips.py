@@ -191,10 +191,16 @@ def _refix_exit_halos(t: Array, n: int, strip_ids: Array, s_total: int,
     index may be traced (the chunked path): reflect rows are built for every
     slab (m rows each — cheap) and selected only where the slab is the
     image's first/last strip.  ``strip_ids`` has one entry per strip of the
-    call (slabs are N-major: image-major, strip-minor)."""
+    call (slabs are N-major: image-major, strip-minor).  ``c`` as in
+    :func:`_refix_outer_slab_halos` (None = unpacked rows — the
+    entry-chunked recompute's x2 slabs)."""
     hs = t.shape[1]
-    top, _ = _packed_pad_rows_top_bot(t[:, m:], m, c)
-    _, bot = _packed_pad_rows_top_bot(t[:, : hs - m], m, c)
+    if c is None:
+        top, _ = _pad_rows_top_bot(t[:, m:], m)
+        _, bot = _pad_rows_top_bot(t[:, : hs - m], m)
+    else:
+        top, _ = _packed_pad_rows_top_bot(t[:, m:], m, c)
+        _, bot = _packed_pad_rows_top_bot(t[:, : hs - m], m, c)
     ids = jnp.tile(strip_ids, n)  # N-major slab order
     maskf = (ids == 0)[:, None, None, None]
     maskl = (ids == s_total - 1)[:, None, None, None]
@@ -232,6 +238,30 @@ def _unslab(y: Array, n: int, s: int) -> Array:
     """(N*S, R, W, C) -> (N, S*R, W, C)."""
     ns, r, w, c = y.shape
     return y.reshape(n, s, r, w, c).reshape(n, s * r, w, c)
+
+
+def _extend_rows(x: Array, m: int, packed_c=None) -> Array:
+    """Concatenate the torch-reflect pad rows onto a map: (N, Hp, W, C) ->
+    (N, Hp+2M, W, C).  The entry-chunked path slices slab row-blocks out of
+    this at TRACED strip offsets (``_slabs_chunk``), where `_slabs`'
+    build-only-the-pads trick needs static indices."""
+    top, bot = (_pad_rows_top_bot(x, m) if packed_c is None
+                else _packed_pad_rows_top_bot(x, m, packed_c))
+    return jnp.concatenate([top, x, bot], axis=1)
+
+
+def _slabs_chunk(xe: Array, c0, cs: int, r: int, m: int) -> Array:
+    """Slabs for ``cs`` consecutive strips starting at traced strip index
+    ``c0``, from the reflect-EXTENDED map ``xe`` (see :func:`_extend_rows`).
+
+    Global slab i spans xe rows [i*r : i*r + r + 2m]; the chunk's row block
+    is dynamic-sliced once and the cs slabs are static windows into it
+    (N-major slab order, identical values to :func:`_slabs`)."""
+    n = xe.shape[0]
+    blk = jax.lax.dynamic_slice_in_dim(xe, c0 * r, cs * r + 2 * m, axis=1)
+    parts = [blk[:, k * r : k * r + r + 2 * m] for k in range(cs)]
+    return jnp.stack(parts, axis=1).reshape(
+        n * cs, r + 2 * m, xe.shape[2], xe.shape[3])
 
 
 @functools.lru_cache(maxsize=16)
@@ -345,7 +375,8 @@ def pick_strip_chunks(n: int, s: int, hs: int, wp: int) -> int:
 
 def make_strip_eval(bundle, packed: Dict[str, np.ndarray], strip_rows: int,
                     chunk_strips: int = 0, quant: Dict = None,
-                    slab_sharding=None, u8_out: bool = False):
+                    slab_sharding=None, u8_out: bool = False,
+                    entry_chunked: bool = False):
     """Jittable strip-wise packed forward: fn(params, x) -> enhanced.
 
     ``u8_out``: return PNG-ready uint8 instead of [-1,1] float.  The
@@ -386,6 +417,17 @@ def make_strip_eval(bundle, packed: Dict[str, np.ndarray], strip_rows: int,
     inference (GSPMD turns the cross-strip instance-norm reductions into
     psums and the border-slab band recomputes into collectives).
     Unchunked path only.
+
+    ``entry_chunked``: ALSO recompute the entry chain (enc1/enc2/enc3)
+    per exit chunk instead of holding every strip's entry slabs — the
+    memory bound past 8192px (at 12288px the x1 slabs alone are ~11 GB).
+    One extra chunked pass computes enc3's interior rows (-> the x3 the
+    middle needs) fused with the GAM-IN moment partials, and the exit
+    pass recomputes enc1/enc2 for its chunk — identical per-slab ops on
+    identical inputs, so the result is bit-equal to the entry-resident
+    chunked path (test-enforced); the price is ~2x the entry-chain FLOPs.
+    Effective only with a chunked exit (cs < s), bf16 entry (the int8
+    hybrid default), and no slab_sharding.
     """
     from uegan_tpu.models.blocks import ConvBlock, SNConv
     from uegan_tpu.ops.resize import upsample2x_align_corners
@@ -476,6 +518,48 @@ def make_strip_eval(bundle, packed: Dict[str, np.ndarray], strip_rows: int,
 
         xp = space_to_depth_rows(x.astype(dt))  # (N, Hp, Wp, 12)
 
+        # exit-chunk size (hoisted above the entry: the entry-chunked path
+        # must know it before the entry chain runs)
+        if slab_sharding is not None:
+            cs = s  # sharded slabs: every strip lives on its device, no chunking
+        elif chunk_strips > 0:
+            cs = min(chunk_strips, s)
+            while s % cs:
+                cs -= 1
+        elif chunk_strips < 0:
+            cs = s
+        else:
+            cs = pick_strip_chunks(n, s, hs, wp)
+
+        # ga1/ga2 SE branches + fuse biases are per-(image, channel) consts
+        # that the instance norm removes exactly (see packed.gam_norm_eval)
+        # — only the x-part 1x1 conv survives.  (Hoisted above the entry:
+        # the entry-chunked pass 0 fuses the moment partials into the same
+        # map that produces x3.)
+        c2 = cd * 2
+        kx2 = p["ga2"]["fuse"]["kernel"][0, 0, :c2, :].astype(dt)
+
+        def ga2_vals(x2part):
+            return jnp.einsum("nhwc,cq->nhwq", x2part, kx2,
+                              precision=prec).astype(dt)
+
+        def ga1_vals(x1part):
+            if qt is not None:
+                # int8 1x1 on the requantized x1 slice (slices of the entry
+                # x1q — quantization is pointwise, so slicing commutes); the
+                # bias/SE constants are IN-cancelled exactly as in bf16
+                yq = jax.lax.conv_general_dilated(
+                    quantize_act(x1part, qsc["x1p"]), qk["ga1"], (1, 1),
+                    "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.int32)
+                return _deq(yq, qw["ga1"], None, False)
+            return conv1x1(x1part, pk["ga1_fuse_x_k"], None)
+
+        # entry chunking needs a chunked exit, a bf16 entry chain (the int8
+        # hybrid default) and unsharded slabs
+        ec = (entry_chunked and cs < s and slab_sharding is None
+              and not (qt is not None and qt.get("entry_int8", True)))
+
         # ---- entry strips: enc1, enc2, enc3 (the full-height convs) ----
         # entry_int8=False (the build_quant_tables default) keeps the entry
         # chain bf16 while the exit chain still quantizes: measured-best at
@@ -483,35 +567,80 @@ def make_strip_eval(bundle, packed: Dict[str, np.ndarray], strip_rows: int,
         # the entry's quantize->conv->dequant->requantize chain adds
         # full-tensor passes on the movement-bound slabs that outweigh the
         # int8 conv gain, while the exit's deep dec5 head keeps the MXU 2x
-        if qt is not None and qt.get("entry_int8", True):
-            # int8 entry: quantize the packed input ONCE (slab halos of the
-            # int8 tensor equal quantized halos — reflect is pure movement),
-            # conv int8 -> dequant+bias+leaky in bf16, requantize for enc2
-            xqs = _shard(_slabs(quantize_act(xp, INPUT_SCALE), s, r, E, packed_c=3))
-            x1s = leaky(_deq(conv_q(xqs, "enc1", s0s["enc1_s0"], 3),
-                             qw["enc1"], jnp.asarray(qb["enc1"]), True))
-            x1s = _shard(_refix_outer_slab_halos(x1s, n, s, E, c=cd))
-            x1q = quantize_act(x1s, qsc["x1p"])
-            x2s = leaky(_deq(conv_q(x1q, "enc2", s0s["enc2_s0"], cd),
-                             qw["enc2"], jnp.asarray(qb["enc2"]), False))
-            x2s = _shard(_refix_outer_slab_halos(x2s, n, s, E))
+        if ec:
+            # beyond-8192px memory mode: never hold every strip's entry
+            # slabs — pass 0 recomputes enc1/enc2 per chunk, emits enc3's
+            # interior rows (building x3 for the middle) and the GAM-IN
+            # moment partials; the exit pass recomputes enc1/enc2 again.
+            # Identical per-slab ops on identical inputs -> bit-equal to
+            # the entry-resident chunked path.
+            xpe = _extend_rows(xp, E, packed_c=3)
+            nch = s // cs
+
+            def entry_chunk(ci):
+                ids = ci * cs + jnp.arange(cs)
+                xs_c = _slabs_chunk(xpe, ci * cs, cs, r, E)
+                x1c = packed_conv(xs_c, pk["enc1_k"], s0s["enc1_s0"], 3,
+                                  p["enc1"]["conv"]["bias"], dt,
+                                  h_fixups=False, act=leaky)
+                x1c = _refix_exit_halos(x1c, n, ids, s, E, cd)
+                x2c = packed_conv(x1c, pk["enc2_k"], s0s["enc2_s0"], cd,
+                                  p["enc2"]["conv"]["bias"], dt,
+                                  h_fixups=False, act=leaky)
+                x2c = _refix_exit_halos(x2c, n, ids, s, E, None)
+                return x1c, x2c
+
+            def pass0(ci):
+                x1c, x2c = entry_chunk(ci)
+                with skip_h_borders():
+                    x3c = block(cd * 4, 3, 2).apply(
+                        {"params": p["enc3"]}, x2c, False, False)
+                g2 = ga2_vals(x2c[:, E : E + r]).astype(jnp.float32)
+                pm2 = jnp.mean(g2, axis=(1, 2)).reshape(n, cs, 1, c2)
+                ps2 = jnp.mean(g2 * g2, axis=(1, 2)).reshape(n, cs, 1, c2)
+                g1 = ga1_vals(x1c[:, E : E + r]).astype(jnp.float32)
+                pm1 = jnp.mean(g1, axis=(1, 2)).reshape(n, cs, 4, cd)
+                ps1 = jnp.mean(g1 * g1, axis=(1, 2)).reshape(n, cs, 4, cd)
+                return x3c[:, E // 2 : E // 2 + r // 2], pm1, ps1, pm2, ps2
+
+            x3ch, epm1, eps1, epm2, eps2 = jax.lax.map(pass0, jnp.arange(nch))
+            x3 = jnp.moveaxis(
+                x3ch.reshape(nch, n, cs, r // 2, wp // 2, cd * 4), 0, 1
+            ).reshape(n, hp // 2, wp // 2, cd * 4)
+            ec_parts = (epm1, eps1, epm2, eps2)
         else:
-            xs = _shard(_slabs(xp, s, r, E, packed_c=3))
-            x1s = packed_conv(xs, pk["enc1_k"], s0s["enc1_s0"], 3,
-                              p["enc1"]["conv"]["bias"], dt,
-                              h_fixups=False, act=leaky)           # valid halo E-2
-            # conv does not commute with the input's mirror extension, so the
-            # border slabs' halo rows now hold extended-domain values; re-reflect
-            # them from the real rows so every later consumer (enc2/enc3 and the
-            # exit chain's x1/x2 slices) sees the canonical per-layer reflect pad
-            x1s = _shard(_refix_outer_slab_halos(x1s, n, s, E, c=cd))
-            x2s = packed_conv(x1s, pk["enc2_k"], s0s["enc2_s0"], cd,
-                              p["enc2"]["conv"]["bias"], dt,
-                              h_fixups=False, act=leaky)           # valid halo E-3
-            x2s = _shard(_refix_outer_slab_halos(x2s, n, s, E))
-        with skip_h_borders():
-            x3s = block(cd * 4, 3, 2).apply({"params": p["enc3"]}, x2s, False, False)
-        x3 = _unslab(x3s[:, E // 2 : E // 2 + r // 2], n, s)  # (N, Hp/2, Wp/2, 4cd)
+            if qt is not None and qt.get("entry_int8", True):
+                # int8 entry: quantize the packed input ONCE (slab halos of
+                # the int8 tensor equal quantized halos — reflect is pure
+                # movement), conv int8 -> dequant+bias+leaky in bf16,
+                # requantize for enc2
+                xqs = _shard(_slabs(quantize_act(xp, INPUT_SCALE), s, r, E,
+                                    packed_c=3))
+                x1s = leaky(_deq(conv_q(xqs, "enc1", s0s["enc1_s0"], 3),
+                                 qw["enc1"], jnp.asarray(qb["enc1"]), True))
+                x1s = _shard(_refix_outer_slab_halos(x1s, n, s, E, c=cd))
+                x1q = quantize_act(x1s, qsc["x1p"])
+                x2s = leaky(_deq(conv_q(x1q, "enc2", s0s["enc2_s0"], cd),
+                                 qw["enc2"], jnp.asarray(qb["enc2"]), False))
+                x2s = _shard(_refix_outer_slab_halos(x2s, n, s, E))
+            else:
+                xs = _shard(_slabs(xp, s, r, E, packed_c=3))
+                x1s = packed_conv(xs, pk["enc1_k"], s0s["enc1_s0"], 3,
+                                  p["enc1"]["conv"]["bias"], dt,
+                                  h_fixups=False, act=leaky)       # valid halo E-2
+                # conv does not commute with the input's mirror extension, so
+                # the border slabs' halo rows now hold extended-domain values;
+                # re-reflect them from the real rows so every later consumer
+                # (enc2/enc3 and the exit chain's x1/x2 slices) sees the
+                # canonical per-layer reflect pad
+                x1s = _shard(_refix_outer_slab_halos(x1s, n, s, E, c=cd))
+                x2s = packed_conv(x1s, pk["enc2_k"], s0s["enc2_s0"], cd,
+                                  p["enc2"]["conv"]["bias"], dt,
+                                  h_fixups=False, act=leaky)       # valid halo E-3
+                x2s = _shard(_refix_outer_slab_halos(x2s, n, s, E))
+            with skip_h_borders():
+                x3s = block(cd * 4, 3, 2).apply({"params": p["enc3"]}, x2s, False, False)
+            x3 = _unslab(x3s[:, E // 2 : E // 2 + r // 2], n, s)  # (N, Hp/2, Wp/2, 4cd)
 
         # ---- direct middle: every map <= Hp/2 rows ----
         x4 = block(cd * 8, 3, 2).apply({"params": p["enc4"]}, x3, False, False)
@@ -562,27 +691,8 @@ def make_strip_eval(bundle, packed: Dict[str, np.ndarray], strip_rows: int,
         mwp = jnp.asarray(mwh.reshape(wp, 2, wp).transpose(1, 0, 2), dt)
         k4 = p["upsample4"]["kernel"][0, 0].astype(dt)
 
-        # ga1/ga2 SE branches + fuse biases are per-(image, channel) consts
-        # that the instance norm removes exactly (see packed.gam_norm_eval) —
-        # only the x-part 1x1 conv survives
-        c2 = cd * 2
-        kx2 = p["ga2"]["fuse"]["kernel"][0, 0, :c2, :].astype(dt)
-
-        def ga2_vals(x2part):
-            return jnp.einsum("nhwc,cq->nhwq", x2part, kx2,
-                              precision=prec).astype(dt)
-
-        def ga1_vals(x1part):
-            if qt is not None:
-                # int8 1x1 on the requantized x1 slice (slices of the entry
-                # x1q — quantization is pointwise, so slicing commutes); the
-                # bias/SE constants are IN-cancelled exactly as in bf16
-                yq = jax.lax.conv_general_dilated(
-                    quantize_act(x1part, qsc["x1p"]), qk["ga1"], (1, 1),
-                    "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                    preferred_element_type=jnp.int32)
-                return _deq(yq, qw["ga1"], None, False)
-            return conv1x1(x1part, pk["ga1_fuse_x_k"], None)
+        # (ga1_vals/ga2_vals and the exit-chunk size are defined above the
+        # entry section — the entry-chunked pass 0 consumes them there)
 
         def apply_in(ts, norm, reps, phases, c):
             """strip_instance_norm's application with precomputed moments."""
@@ -852,17 +962,7 @@ def make_strip_eval(bundle, packed: Dict[str, np.ndarray], strip_rows: int,
                 return depth_to_space(outs)
             return outs
 
-        if slab_sharding is not None:
-            cs = s  # sharded slabs: every strip lives on its device, no chunking
-        elif chunk_strips > 0:
-            cs = min(chunk_strips, s)
-            while s % cs:
-                cs -= 1
-        elif chunk_strips < 0:
-            cs = s
-        else:
-            cs = pick_strip_chunks(n, s, hs, wp)
-
+        # (cs was selected above the entry section)
         xin_all = xp.reshape(n, s, r, wp, xp.shape[-1])  # interior rows per strip
 
         if cs >= s:
@@ -880,29 +980,34 @@ def make_strip_eval(bundle, packed: Dict[str, np.ndarray], strip_rows: int,
         # ---- chunked exit: lax.map over strip chunks bounds live slabs ----
         nch = s // cs
         rows_e = r + 2 * E
-        x1r = x1s.reshape(n, s, rows_e, wp, x1s.shape[-1])
-        x2r = x2s.reshape(n, s, rows_e, wp, x2s.shape[-1])
         starts_arr = jnp.asarray(starts3, jnp.int32)
 
-        def chunk_slabs(t, c0):
-            tc = jax.lax.dynamic_slice_in_dim(t, c0, cs, axis=1)
-            return tc.reshape(n * cs, rows_e, wp, t.shape[-1])
+        if ec:
+            # moments came fused out of the entry-chunked pass 0
+            parts = ec_parts
+        else:
+            x1r = x1s.reshape(n, s, rows_e, wp, x1s.shape[-1])
+            x2r = x2s.reshape(n, s, rows_e, wp, x2s.shape[-1])
 
-        # pass A: GAM-IN moments from strip interiors, chunk-wise — the
-        # interiors of the ga1/ga2 slabs are pointwise functions of the
-        # x1/x2 interiors, so recomputing the 1x1 convs on just those rows
-        # gives per-strip partials identical to strip_instance_norm's
-        def ga_mom(ci):
-            c0 = ci * cs
-            g2 = ga2_vals(chunk_slabs(x2r, c0)[:, E : E + r]).astype(jnp.float32)
-            pm2 = jnp.mean(g2, axis=(1, 2)).reshape(n, cs, 1, c2)
-            ps2 = jnp.mean(g2 * g2, axis=(1, 2)).reshape(n, cs, 1, c2)
-            g1 = ga1_vals(chunk_slabs(x1r, c0)[:, E : E + r]).astype(jnp.float32)
-            pm1 = jnp.mean(g1, axis=(1, 2)).reshape(n, cs, 4, cd)
-            ps1 = jnp.mean(g1 * g1, axis=(1, 2)).reshape(n, cs, 4, cd)
-            return pm1, ps1, pm2, ps2
+            def chunk_slabs(t, c0):
+                tc = jax.lax.dynamic_slice_in_dim(t, c0, cs, axis=1)
+                return tc.reshape(n * cs, rows_e, wp, t.shape[-1])
 
-        parts = jax.lax.map(ga_mom, jnp.arange(nch))
+            # pass A: GAM-IN moments from strip interiors, chunk-wise — the
+            # interiors of the ga1/ga2 slabs are pointwise functions of the
+            # x1/x2 interiors, so recomputing the 1x1 convs on just those
+            # rows gives per-strip partials identical to strip_instance_norm's
+            def ga_mom(ci):
+                c0 = ci * cs
+                g2 = ga2_vals(chunk_slabs(x2r, c0)[:, E : E + r]).astype(jnp.float32)
+                pm2 = jnp.mean(g2, axis=(1, 2)).reshape(n, cs, 1, c2)
+                ps2 = jnp.mean(g2 * g2, axis=(1, 2)).reshape(n, cs, 1, c2)
+                g1 = ga1_vals(chunk_slabs(x1r, c0)[:, E : E + r]).astype(jnp.float32)
+                pm1 = jnp.mean(g1, axis=(1, 2)).reshape(n, cs, 4, cd)
+                ps1 = jnp.mean(g1 * g1, axis=(1, 2)).reshape(n, cs, 4, cd)
+                return pm1, ps1, pm2, ps2
+
+            parts = jax.lax.map(ga_mom, jnp.arange(nch))
 
         def finish(pm, ps):
             pm = jnp.moveaxis(pm, 0, 1).reshape(n, s, pm.shape[-2], pm.shape[-1])
@@ -923,7 +1028,13 @@ def make_strip_eval(bundle, packed: Dict[str, np.ndarray], strip_rows: int,
                 [jax.lax.dynamic_slice_in_dim(y2, starts_arr[c0 + i], win3, axis=1)
                  for i in range(cs)], axis=1)
             xin_c = jax.lax.dynamic_slice_in_dim(xin_all, c0, cs, axis=1)
-            return exit_strips(chunk_slabs(x1r, c0), chunk_slabs(x2r, c0),
+            if ec:
+                # entry-chunked: recompute this chunk's enc1/enc2 slabs
+                # (bit-equal to the resident slabs; ~2x entry FLOPs total)
+                x1c, x2c = entry_chunk(ci)
+            else:
+                x1c, x2c = chunk_slabs(x1r, c0), chunk_slabs(x2r, c0)
+            return exit_strips(x1c, x2c,
                                xin_c.reshape(n * cs, r, wp, xin_c.shape[-1]),
                                m3c, y2wc, m4c, cs,
                                c0 + jnp.arange(cs), norm1, norm2, True)
@@ -936,16 +1047,18 @@ def make_strip_eval(bundle, packed: Dict[str, np.ndarray], strip_rows: int,
 
 
 def make_strip_fast_eval(bundle, g_params, strip_rows: int,
-                         chunk_strips: int = 0, u8_out: bool = False):
+                         chunk_strips: int = 0, u8_out: bool = False,
+                         entry_chunked: bool = False):
     """make_fast_eval-shaped wrapper: fn(params, extra, x)."""
     packed = pack_generator_params(jax.device_get(g_params), bundle.g_model.conv_dim)
     fn = make_strip_eval(bundle, packed, strip_rows, chunk_strips,
-                         u8_out=u8_out)
+                         u8_out=u8_out, entry_chunked=entry_chunked)
     return lambda params, extra, x: fn(params, x)
 
 
 def make_int8_strip_eval(bundle, tables: Dict, strip_rows: int,
-                         chunk_strips: int = 0, u8_out: bool = False):
+                         chunk_strips: int = 0, u8_out: bool = False,
+                         entry_chunked: bool = False):
     """int8 strip executor from prebuilt quant tables
     (``infer.quantized.build_quant_tables``): fn(params, extra, x).
 
@@ -955,5 +1068,6 @@ def make_int8_strip_eval(bundle, tables: Dict, strip_rows: int,
     ``Config.quantized_inference`` like the full-image path.
     """
     fn = make_strip_eval(bundle, tables["pk"], strip_rows, chunk_strips,
-                         quant=tables, u8_out=u8_out)
+                         quant=tables, u8_out=u8_out,
+                         entry_chunked=entry_chunked)
     return lambda params, extra, x: fn(params, x)

@@ -79,6 +79,28 @@ def test_export_model_roundtrip(tmp_path):
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
 
 
+def test_export_model_u8_io_roundtrip(tmp_path):
+    """--u8_io serving artifact: uint8 pixels in and out, byte-identical to
+    the tester's u8 chain (device normalize -> forward -> fused quantize)."""
+    from uegan_tpu.data.pipeline import device_normalize
+    from uegan_tpu.infer.packed import make_fast_eval
+    from uegan_tpu.tools.export_model import export_generator, load_exported
+
+    out = str(tmp_path / "g_u8.jaxexport")
+    export_generator(out, hw=32, batch=2, compute_dtype="float32", u8_io=True)
+    fn = load_exported(out)
+    xu = np.random.default_rng(1).integers(0, 256, (2, 32, 32, 3), np.uint8)
+    got = np.asarray(fn(xu))
+    assert got.dtype == np.uint8
+
+    cfg = Config(compute_dtype="float32")
+    state, bundle = create_train_state(cfg, jax.random.PRNGKey(0), (32, 32), 1)
+    base = make_fast_eval(bundle, state.g_params, u8_output=True)
+    want = np.asarray(base(state.g_params, state.g_extra,
+                           device_normalize(jnp.asarray(xu))))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_default_dataset(tmp_path):
     from PIL import Image
 

@@ -32,6 +32,7 @@ def export_generator(
     quantized: str = "",
     compute_dtype: str = "bfloat16",
     platforms: tuple = (),
+    u8_io: bool = False,
 ) -> int:
     """Serialize the packed inference forward; returns artifact size in bytes."""
     import jax
@@ -66,16 +67,27 @@ def export_generator(
             )
             state = ckptr.restore(os.path.abspath(ckpt), abstract)
 
-    eval_fn = make_fast_eval(bundle, state.g_params)
+    eval_fn = make_fast_eval(bundle, state.g_params, u8_output=u8_io)
     g_params, g_extra = state.g_params, state.g_extra
 
-    def forward(x):  # weights closed over -> baked as constants
-        return eval_fn(g_params, g_extra, x)
+    if u8_io:
+        # serving artifact: uint8 pixels in AND out — the [-1,1] normalize
+        # runs on device and the PNG quantize is fused before the final
+        # depth_to_space (infer/packed.py), so the host only moves bytes
+        from uegan_tpu.data.pipeline import device_normalize
+
+        def forward(x):  # weights closed over -> baked as constants
+            return eval_fn(g_params, g_extra, device_normalize(x))
+
+        in_spec = jax.ShapeDtypeStruct((batch, hw, hw, 3), jnp.uint8)
+    else:
+        def forward(x):
+            return eval_fn(g_params, g_extra, x)
+
+        in_spec = jax.ShapeDtypeStruct((batch, hw, hw, 3), jnp.float32)
 
     kw = {"platforms": tuple(platforms)} if platforms else {}
-    exp = jexport.export(jax.jit(forward), **kw)(
-        jax.ShapeDtypeStruct((batch, hw, hw, 3), jnp.float32)
-    )
+    exp = jexport.export(jax.jit(forward), **kw)(in_spec)
     blob = exp.serialize()
     with open(out_path, "wb") as f:
         f.write(blob)
@@ -103,6 +115,9 @@ def main(argv=None) -> None:
                    help="comma list (e.g. cpu,tpu) for multi-platform lowering; "
                         "empty = the current backend only")
     p.add_argument("--platform", default="", help="jax backend override")
+    p.add_argument("--u8_io", action="store_true",
+                   help="uint8-in/uint8-out serving artifact (device "
+                        "normalize + fused PNG quantize)")
     a = p.parse_args(argv)
     if a.platform:
         import jax
@@ -110,7 +125,7 @@ def main(argv=None) -> None:
         jax.config.update("jax_platforms", a.platform)
     plats = tuple(s for s in a.platforms.split(",") if s)
     n = export_generator(a.out, a.ckpt, a.hw, a.batch, a.quantized,
-                         a.compute_dtype, plats)
+                         a.compute_dtype, plats, u8_io=a.u8_io)
     print(f"exported {a.hw}px batch-{a.batch} forward to {a.out} ({n / 1e6:.2f} MB)")
 
 

@@ -1187,12 +1187,13 @@ def make_packed_eval(bundle, packed: Dict[str, np.ndarray] = None,
             return y
         out = jnp.clip(res.astype(jnp.float32) + xp.astype(jnp.float32), -1.0, 1.0)
         if u8_out:
-            # quantize in the packed domain (pointwise — commutes with the
-            # pure-movement d2s, and bit-identical to quantizing the bf16
-            # image): the interleave copies + d2h fetch then move uint8
+            # PNG-ready output: quantize AFTER the d2s (bit-identical to
+            # quantizing the packed tensor — they commute — but the float
+            # d2s takes the fast convT lowering; only the d2h fetch needs
+            # the uint8 halving, and it still gets it)
             from uegan_tpu.utils.image_io import device_quantize_u8
 
-            return depth_to_space(device_quantize_u8(out.astype(dt)))
+            return device_quantize_u8(depth_to_space(out.astype(dt)))
         return depth_to_space(out.astype(dt))
 
     return fn
@@ -1214,10 +1215,11 @@ def make_fast_eval(bundle, g_params, calib_batch=None, u8_output=False):
     otherwise.
 
     ``u8_output``: return PNG-ready uint8 instead of [-1,1] float — the
-    serving/tester fast path.  On the packed/strip paths the quantize is
-    fused BEFORE the final depth_to_space (pointwise, commutes with pure
-    movement; bit-identical to quantizing the returned bf16 image), so the
-    lane-starved interleave copies and the d2h fetch move half the bytes.
+    serving/tester fast path.  The quantize runs right after the final
+    depth_to_space inside the jit (so the d2s takes the fast convT
+    lowering — TPU has no integer conv — while the strip paths' chunk
+    reassembly and the d2h fetch still move 1-byte pixels); bit-identical
+    to quantizing the returned bf16 image.
     """
     from uegan_tpu.train.step import make_eval_step
 

@@ -550,11 +550,11 @@ def make_int8_eval(
             res = seq_tail(modq)
         out = jnp.clip(res.astype(jnp.float32) + xp.astype(jnp.float32), -1.0, 1.0)
         if u8_out:
-            # PNG-ready output: quantize before the pure-movement d2s
-            # (commutes; bit-identical to quantizing the bf16 image)
+            # PNG-ready output: quantize AFTER the d2s (commutes
+            # bit-exactly; the float d2s takes the fast convT lowering)
             from uegan_tpu.utils.image_io import device_quantize_u8
 
-            return depth_to_space(device_quantize_u8(out.astype(dt)))
+            return device_quantize_u8(depth_to_space(out.astype(dt)))
         return depth_to_space(out.astype(dt))
 
     return fn

@@ -381,9 +381,10 @@ def make_strip_eval(bundle, packed: Dict[str, np.ndarray], strip_rows: int,
 
     ``u8_out``: return PNG-ready uint8 instead of [-1,1] float.  The
     quantize (utils.image_io.device_quantize_u8 on the bf16 value — bit
-    identical to quantizing the float output) runs BEFORE the final
-    depth_to_space/reassembly, so the lane-starved interleave copies and
-    the device->host fetch move uint8 bytes (2x less than bf16).
+    identical to quantizing the float output) runs right AFTER each d2s
+    (so the d2s takes the fast convT lowering; TPU has no integer conv)
+    and BEFORE slab/chunk reassembly, so the stacking and the d2h fetch
+    move uint8 bytes (2x less than bf16).
 
     Same contract and numerics as make_packed_eval's fn (exactness is
     test-enforced); only valid for the default generator config and for
@@ -949,17 +950,17 @@ def make_strip_eval(bundle, packed: Dict[str, np.ndarray], strip_rows: int,
                 ress = strip_dec5(y4s * x1es, sc, strip_ids)
             outs = jnp.clip(ress[:, m : m + r].astype(jnp.float32)
                             + xin.astype(jnp.float32), -1.0, 1.0).astype(dt)
-            if u8_out:
-                # quantize BEFORE the unpack/reassembly: pointwise, so it
-                # commutes with the pure-movement d2s — all downstream
-                # copies and the d2h fetch then move uint8 bytes
-                from uegan_tpu.utils.image_io import device_quantize_u8
+            # u8_out: quantize AFTER the d2s (they commute bit-exactly,
+            # but d2s on float takes the fast convT lowering — TPU has no
+            # integer conv) and BEFORE reassembly, so chunk/slab stacking
+            # and the d2h fetch still move 1-byte pixels
+            from uegan_tpu.utils.image_io import device_quantize_u8
 
-                outs = device_quantize_u8(outs)
             # the unpack commutes with reassembly (strips are whole packed
             # rows), so it can run per slab — see _SLAB_UNPACK_MIN
             if slab_unpack:
-                return depth_to_space(outs)
+                y = depth_to_space(outs)
+                return device_quantize_u8(y) if u8_out else y
             return outs
 
         # (cs was selected above the entry section)
@@ -975,7 +976,12 @@ def make_strip_eval(bundle, packed: Dict[str, np.ndarray], strip_rows: int,
                                ids_static=True)
             if slab_unpack:
                 return _unslab(outs, n, s)
-            return depth_to_space(_unslab(outs, n, s))
+            y = depth_to_space(_unslab(outs, n, s))
+            if u8_out:
+                from uegan_tpu.utils.image_io import device_quantize_u8
+
+                y = device_quantize_u8(y)
+            return y
 
         # ---- chunked exit: lax.map over strip chunks bounds live slabs ----
         nch = s // cs

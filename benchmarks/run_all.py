@@ -111,7 +111,7 @@ def bench_highres(iters: int, hw: int = 2048, batch: int = 4):
     """Config 5: native-resolution 2048px enhancement.
 
     make_fast_eval auto-routes huge images to the exact H-strip executor
-    (infer/strips.py): 19.6 img/s at batch 4 vs 10.8 direct (XLA
+    (infer/strips.py): 20.3 img/s at batch 4 vs 10.8 direct (XLA
     space-blocks >=1024-row conv maps and drowns in layout copies).  The
     tiled paths remain as beyond-HBM fallbacks (see infer/tiles.py,
     46x slower host-side).

@@ -1045,9 +1045,22 @@ def make_strip_eval(bundle, packed: Dict[str, np.ndarray], strip_rows: int,
                                m3c, y2wc, m4c, cs,
                                c0 + jnp.arange(cs), norm1, norm2, True)
 
-        outs = jax.lax.map(exit_chunk, jnp.arange(nch))  # (nch, n*cs, 2r, 2wp, 3)
-        outs = outs.reshape(nch, n, cs, 2 * r, 2 * wp, outs.shape[-1])
-        return jnp.moveaxis(outs, 0, 1).reshape(n, 2 * hp, 2 * wp, outs.shape[-1])
+        # assemble under fori_loop with in-place row-block DUS instead of
+        # lax.map + moveaxis: the map form stacks chunk outputs on a new
+        # leading axis and then pays a full-image strided copy to
+        # re-interleave them (chunk-major -> image-major); the DUS writes
+        # each chunk's rows straight into the output buffer (bit-equal —
+        # same values, different placement ops)
+        probe = jax.eval_shape(exit_chunk, jnp.int32(0))
+
+        def body(ci, acc):
+            y = exit_chunk(ci)  # (n*cs, 2r, 2wp, c), N-major slab order
+            y = y.reshape(n, cs * 2 * r, 2 * wp, y.shape[-1])
+            return jax.lax.dynamic_update_slice_in_dim(
+                acc, y, ci * cs * 2 * r, axis=1)
+
+        out0 = jnp.zeros((n, 2 * hp, 2 * wp, probe.shape[-1]), probe.dtype)
+        return jax.lax.fori_loop(0, nch, body, out0)
 
     return fn
 

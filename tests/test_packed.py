@@ -408,3 +408,24 @@ def test_composed_dec5_kernel_algebra(rng):
         np.asarray(got)[:, 4:-4, 4:-4], np.asarray(want)[:, 4:-4, 4:-4],
         rtol=2e-4, atol=2e-4,
     )
+
+
+@pytest.mark.parametrize("c4", [12, 48])
+def test_depth_to_space_convT_bitwise(rng, c4):
+    """depth_to_space's transposed-conv lowering == the reshape form
+    bit-for-bit (f32 and bf16) at both channel counts in use (12 = the
+    output tail, 48 = the stride-2 deep dec5 head), and uint8 routes to
+    the reshape form unchanged."""
+    from uegan_tpu.infer.packed import _depth_to_space_reshape, depth_to_space
+
+    x = jnp.asarray(rng.uniform(-1, 1, (2, 6, 4, c4)).astype(np.float32))
+    for xt in (x, x.astype(jnp.bfloat16)):
+        np.testing.assert_array_equal(
+            np.asarray(depth_to_space(xt)),
+            np.asarray(_depth_to_space_reshape(xt)))
+    xu = jnp.asarray(
+        np.random.default_rng(0).integers(0, 256, (2, 6, 4, c4), np.uint8))
+    got = depth_to_space(xu)
+    assert got.dtype == jnp.uint8
+    np.testing.assert_array_equal(
+        np.asarray(got), np.asarray(_depth_to_space_reshape(xu)))

@@ -148,8 +148,13 @@ def main():
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--skip", type=str, default="")
     p.add_argument("--platform", type=str, default="")
+    p.add_argument("--extras", action="store_true",
+                   help="also run the int8 variant and the 4096/8192 "
+                        "subprocess ladder (long: up to two 3600s "
+                        "subprocess timeouts beyond the five headline "
+                        "configs)")
     p.add_argument("--no-extras", action="store_true",
-                   help="skip the int8 variant and the 4096/8192 ladder")
+                   help=argparse.SUPPRESS)  # retired r5: extras are opt-in
     args = p.parse_args()
 
     import jax
@@ -181,7 +186,7 @@ def main():
     if 5 not in skip:
         results["5_highres_2048px_img_per_s"] = round(bench_highres(max(2, args.iters // 2)), 3)
         print(json.dumps({"config": 5, "img_per_s": results["5_highres_2048px_img_per_s"]}), flush=True)
-    if not args.no_extras:
+    if args.extras and not args.no_extras:
         # tracked variants beyond the five headline configs: the opt-in
         # int8 full-image path and the high-res strip ladder (auto-routed
         # to the exact H-strip executor; see infer/strips.py)

@@ -105,7 +105,13 @@ def depth_to_space(x: Array) -> Array:
     K = jnp.asarray(_d2s_convT_kernel_np(x.shape[-1]), x.dtype)
     return jax.lax.conv_transpose(
         x, K, strides=(2, 2), padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        # f32 needs HIGHEST on TPU: default-precision f32 convs run as bf16
+        # passes, which would truncate mantissas and break the documented
+        # bit-exactness with _depth_to_space_reshape (f32 strip executor,
+        # u8-commute contracts).  bf16 keeps DEFAULT like every conv here.
+        precision=(jax.lax.Precision.HIGHEST if x.dtype == jnp.float32
+                   else jax.lax.Precision.DEFAULT))
 
 
 # ---------------------------------------------------------------------------
@@ -1249,9 +1255,12 @@ def make_fast_eval(bundle, g_params, calib_batch=None, u8_output=False):
         def routed_q(params, extra, x):
             # huge images route to the int8 STRIP executor (same shape gate
             # as the bf16 routing below; the int8 scheme extends to the
-            # strip exit chain — see strips.make_int8_strip_eval)
+            # strip exit chain — see strips.make_int8_strip_eval).
+            # int8_pallas takes this branch too: the strip executor is
+            # non-pallas, but that beats the full-image pallas path OOMing
+            # on exactly the >=2048px shapes strips exist for (ADVICE r4).
             hp = x.shape[1] // 2
-            if qi == "int8" and strip_cfg >= 0:
+            if strip_cfg >= 0:
                 from uegan_tpu.infer.strips import (
                     _M_EXIT, make_int8_strip_eval, pick_strip_rows)
 

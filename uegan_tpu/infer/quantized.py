@@ -390,9 +390,14 @@ def build_quant_tables(bundle, g_params, calib_batch: Optional[np.ndarray] = Non
     # quantize->conv->requant passes on the big slab tensors cost more
     # than the int8 conv saves (movement-bound; OPTIMIZATION_NOTES r4),
     # while the exit chain's dec5 deep head still banks the MXU 2x.
+    # NOTE: the fp32 host param tree is deliberately NOT returned — only
+    # make_int8_eval needs it (fp interior + upsample4) and it re-derives it
+    # from g_params, so routed closures / strip jits don't retain an extra
+    # tens-of-MB host copy (ADVICE r4).  ``pk`` IS retained: the hybrid strip
+    # executor's bf16 entry chain runs from the packed fp kernels.
     return {"q": q, "w": w, "sc": sc, "b": biases,
             "b9": np.asarray(pk["dec5c_b"], np.float32), "se": se,
-            "host": host, "pk": pk, "entry_int8": False}
+            "pk": pk, "entry_int8": False}
 
 
 def make_int8_eval(
@@ -437,7 +442,7 @@ def make_int8_eval(
         bundle, g_params, calib_batch)
     q, w, sc, biases = tabs["q"], tabs["w"], tabs["sc"], tabs["b"]
     b9 = tabs["b9"]
-    host, pk = tabs["host"], tabs["pk"]
+    host, pk = jax.device_get(g_params), tabs["pk"]
     ga1_sq, ga1_ex, ga1_kh = (tabs["se"]["squeeze"], tabs["se"]["excite"],
                               tabs["se"]["fuse_h"])
 

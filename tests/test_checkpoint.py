@@ -24,6 +24,9 @@ def test_save_restore_roundtrip(tmp_path):
     mgr = CheckpointManager(str(tmp_path / "models"), cfg)
     state = state.replace(step=jnp.asarray(7, jnp.int32))
     path = mgr.save(jax.device_get(state), 3)
+    # checkpoint_async (the default) commits in the background; the path is
+    # only guaranteed on disk after the wait (r5: the flag is now wired)
+    mgr.wait_until_finished()
     assert os.path.exists(path)
     assert os.path.exists(path + ".config.json")
 

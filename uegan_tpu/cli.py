@@ -87,6 +87,10 @@ def main(args: Config) -> None:
                 num_workers=args.num_workers,
                 seed=args.seed,
                 emit="uint8" if args.device_image_io else "float32",
+                # --test_keep_aspect: native-resolution outputs (no square
+                # resize); batches bucket by shape, the Tester pads to /16
+                # and crops back (infer/native.py)
+                keep_native=args.test_keep_aspect,
             )
         }
         Tester(loaders, args).test()

@@ -68,6 +68,14 @@ def _test_transform(img: Image.Image, size: int, emit_uint8: bool = False) -> np
     return np.asarray(img) if emit_uint8 else _to_float_norm(img)
 
 
+def _native_transform(img: Image.Image, emit_uint8: bool = False) -> np.ndarray:
+    """keep_native test transform: no resize — the reference's unconditional
+    square resize (reference: data_loader.py:95-101) is exactly the behavior
+    ``--test_keep_aspect`` exists to beat; padding to /16 happens on the
+    enhance path (infer/native.py), not here, so saved outputs stay native."""
+    return np.asarray(img) if emit_uint8 else _to_float_norm(img)
+
+
 def device_normalize(x):
     """uint8 batch -> float32 [-1, 1] ON DEVICE (`_to_float_norm` semantics).
 
@@ -112,6 +120,7 @@ class _Loader:
         process_id: Optional[int] = None,
         process_count: Optional[int] = None,
         emit: str = "float32",
+        keep_native: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -134,6 +143,11 @@ class _Loader:
         if emit not in ("float32", "uint8"):
             raise ValueError(f"emit must be float32|uint8, got {emit!r}")
         self.emit = emit
+        # keep_native (test/val only): yield images at their NATIVE size,
+        # batched by shape (below) — the --test_keep_aspect product path.
+        if keep_native and train:
+            raise ValueError("keep_native applies to test/val loaders only")
+        self.keep_native = keep_native
         # multi-host data sharding: every process computes the SAME global
         # epoch order (seeded shuffle) and loads only its own contiguous
         # slice of each global batch — ``batch_size`` is the PER-PROCESS
@@ -185,10 +199,33 @@ class _Loader:
             r2 = np.random.default_rng((self.seed, epoch, index, 1))
             a1 = _train_transform(img1, self.image_size, self.resize_size, r1, u8)
             a2 = _train_transform(img2, self.image_size, self.resize_size, r2, u8)
+        elif self.keep_native:
+            a1 = _native_transform(img1, u8)
+            a2 = _native_transform(img2, u8)
         else:
             a1 = _test_transform(img1, self.image_size, u8)
             a2 = _test_transform(img2, self.image_size, u8)
         return {"exp": a1, "raw": a2, "name": name}
+
+    def _native_batches(self, order: np.ndarray) -> List[np.ndarray]:
+        """Group indices by native (raw, domain-1) pixel size so every batch
+        stacks — the shape-bucketing half of --test_keep_aspect (the
+        enhance-side /16 pad bucketing lives in infer/native.py).  Sizes come
+        from image headers (PIL lazy open — no decode).  Order within a
+        shape group is preserved, so outputs stay deterministic."""
+        groups: Dict[tuple, list] = {}
+        for i in order:
+            f1, f2 = self.dataset.samples[int(i)]
+            with Image.open(f2) as im2:
+                k2 = im2.size
+            with Image.open(f1) as im1:
+                k1 = im1.size
+            groups.setdefault((k2, k1), []).append(int(i))
+        batches = []
+        for idxs in groups.values():
+            for j in range(0, len(idxs), self.batch_size):
+                batches.append(np.asarray(idxs[j : j + self.batch_size]))
+        return batches
 
     def __iter__(self) -> Iterator[Dict]:
         epoch = self.epoch
@@ -203,10 +240,16 @@ class _Loader:
             # standard distributed-sampler convention; duplicates only ever
             # appear in the final batch of an epoch)
             order = np.concatenate([order, order[: nb * gb - len(order)]])
-        batches = [
-            order[i * gb + pid * self.batch_size : i * gb + (pid + 1) * self.batch_size]
-            for i in range(nb)
-        ]
+        if self.keep_native:
+            if pc > 1:
+                raise NotImplementedError(
+                    "keep_native batching is single-process (test mode)")
+            batches = self._native_batches(order)
+        else:
+            batches = [
+                order[i * gb + pid * self.batch_size : i * gb + (pid + 1) * self.batch_size]
+                for i in range(nb)
+            ]
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
@@ -281,6 +324,7 @@ def get_test_loader(
     process_id: Optional[int] = None,
     process_count: Optional[int] = None,
     emit: str = "float32",
+    keep_native: bool = False,
 ) -> _Loader:
     return _Loader(
         PairedImageDataset(root),
@@ -294,6 +338,7 @@ def get_test_loader(
         process_id=process_id,
         process_count=process_count,
         emit=emit,
+        keep_native=keep_native,
     )
 
 

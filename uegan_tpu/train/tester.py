@@ -238,7 +238,16 @@ class Tester:
 
         for batch in self.loaders["tes"]:
             raw = batch["img_raw"]
-            out_u8 = self.enhance_u8(raw)  # uint8 off the chip, PNG-ready
+            if args.test_keep_aspect:
+                # native resolution: reflect-pad to the bucketed /16 grid,
+                # enhance (huge inputs auto-route to the strip executor via
+                # make_fast_eval), crop back — the loader already bucketed
+                # the batch by shape (infer/native.py; Config:test_keep_aspect)
+                from uegan_tpu.infer.native import enhance_native
+
+                out_u8 = enhance_native(self.enhance_u8, np.asarray(raw))
+            else:
+                out_u8 = self.enhance_u8(raw)  # uint8 off the chip, PNG-ready
             raw_u8 = raw if np.asarray(raw).dtype == np.uint8 else to_uint8(_denorm_np(raw))
             for i in range(out_u8.shape[0]):
                 name = batch["img_name"][i]

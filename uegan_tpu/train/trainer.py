@@ -197,6 +197,7 @@ class Trainer:
             pbar.close()
         for sig, h in old_handlers.items():
             signal.signal(sig, h)
+        self.ckpt.wait_until_finished()  # commit any async checkpoint write
         self.val_best_results()
         timing = self.timer.summary()
         if timing:

@@ -40,14 +40,25 @@ class CheckpointManager:
         return os.path.join(self.root, ckpt_name(self.config.version, self.config.adv_loss_type, epoch))
 
     def save(self, state: Any, epoch) -> str:
+        """Save the full state; with ``Config.checkpoint_async`` the orbax
+        write proceeds in the background (training resumes immediately —
+        the state passed in is a host copy, so no device buffer is held);
+        call :meth:`wait_until_finished` before reading the checkpoint or
+        exiting.  Synchronous when checkpoint_async=False."""
         path = self.path(epoch)
         self._ckptr.save(path, state, force=True)
         with open(path + ".config.json", "w") as f:
             f.write(self.config.to_json())
-        self._ckptr.wait_until_finished()
+        if not self.config.checkpoint_async:
+            self._ckptr.wait_until_finished()
         return path
 
+    def wait_until_finished(self) -> None:
+        """Block until any in-flight async save has committed."""
+        self._ckptr.wait_until_finished()
+
     def restore(self, state_template: Any, epoch) -> Any:
+        self._ckptr.wait_until_finished()  # don't race an async save
         path = self.path(epoch)
         if not os.path.exists(path):
             raise FileNotFoundError(f"checkpoint not found: {path}")

@@ -128,6 +128,10 @@ def run_convergence(
         model_save_epoch=10 ** 6,  # artifact is the JSON, not checkpoints
         sample_step=10 ** 9, log_step=10 ** 9, info_step=max(10, steps_per_epoch),
         is_test_nima=False, is_test_psnr_ssim=True,
+        # single-device story (dp equality is test_parallel's job) — under
+        # pytest's 8-virtual-device conftest the default all-devices mesh
+        # would reject the tiny batch
+        mesh_data=1, mesh_spatial=1,
         cache_data=True, num_workers=2,
         compute_dtype="float32" if platform == "cpu" else "bfloat16",
         is_print_network=False,

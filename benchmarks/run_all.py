@@ -169,12 +169,15 @@ def main():
         results["1_inference_512px_img_per_s"] = round(bench_inference(args.iters), 2)
         print(json.dumps({"config": 1, "img_per_s": results["1_inference_512px_img_per_s"]}), flush=True)
     if 2 not in skip:
-        results["2_nima_eval_img_per_s"] = round(bench_nima(args.iters), 2)
-        print(json.dumps({"config": 2, "img_per_s": results["2_nima_eval_img_per_s"]}), flush=True)
-        results["2_nima_eval_bf16_img_per_s"] = round(
+        # r5: bf16 is the product default (Config.nima_dtype — priced in
+        # benchmarks/nima_dtype.py: |d mean| avg 0.050 vs 22.6x), so it is
+        # the headline; f32 stays tracked as the reference-exact variant
+        results["2_nima_eval_img_per_s"] = round(
             bench_nima(args.iters, batch=256, compute_dtype="bfloat16"), 2
         )
-        print(json.dumps({"config": "2-bf16", "img_per_s": results["2_nima_eval_bf16_img_per_s"]}), flush=True)
+        print(json.dumps({"config": 2, "img_per_s": results["2_nima_eval_img_per_s"]}), flush=True)
+        results["2_nima_eval_f32_img_per_s"] = round(bench_nima(args.iters), 2)
+        print(json.dumps({"config": "2-f32", "img_per_s": results["2_nima_eval_f32_img_per_s"]}), flush=True)
     if 3 not in skip:
         results["3_train_256px_b10_steps_per_s"] = round(bench_train(args.iters, 256, 10), 3)
         print(json.dumps({"config": 3, "steps_per_s": results["3_train_256px_b10_steps_per_s"]}), flush=True)

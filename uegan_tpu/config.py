@@ -124,6 +124,14 @@ class Config:
     legacy_metrics: bool = False  # replicate the reference's divide-by-(N-1)
     vgg_weights: str = ""  # optional torchvision vgg19 .pth for conversion
     nima_weights: str = ""  # optional NIMA .pth for conversion
+    nima_dtype: str = "bfloat16"  # NIMA eval conv dtype.  PRICED r5
+    # (benchmarks/nima_dtype.py on TPU, 64-image fixture, random init — the
+    # regime that OVER-states the error): per-image |d mean| avg 0.050 / max
+    # 0.178, set-average bias 0.034 on the 1-10 scale, vs a 22.6x measured
+    # throughput gap (RESULTS_r4 config 2: 1,329 f32 vs 29,979 bf16 img/s).
+    # Negligible for best-epoch selection (systematic bias, and trained
+    # weights' confident logits shrink it further); set float32 to restore
+    # reference-exact metric numerics.
     tile_size: int = 0  # >0: overlap-tile inference tile edge (single device)
     tile_overlap: int = 32
     remat: bool = False  # rematerialize conv blocks (512px training memory)
@@ -223,7 +231,7 @@ class Config:
             raise ValueError(
                 f"quantized_inference [{self.quantized_inference}] is not implemented"
             )
-        for d in (self.compute_dtype, self.param_dtype):
+        for d in (self.compute_dtype, self.param_dtype, self.nima_dtype):
             if d not in ("float32", "bfloat16", "float16"):
                 raise ValueError(f"dtype [{d}] is not supported")
         return self

@@ -54,10 +54,13 @@ def init_nima(weights_path: str = "", rng_seed: int = 0, compute_dtype: str = "f
 
     ``compute_dtype='bfloat16'`` runs the conv stack on the MXU at the bf16
     rate (params stay f32; BN statistics and the softmax head accumulate in
-    f32).  Score deviation vs f32 on the 1-10 scale: ~0.15 worst-case at
-    RANDOM init (noise logits — test-enforced bound), far smaller with
-    trained weights.  Default stays f32 for metric-fidelity parity with the
-    fp32 reference.
+    f32).  PRICED r5 (benchmarks/nima_dtype.py, TPU, 64-image fixture,
+    random init — the over-stating regime): per-image |d mean| avg 0.050 /
+    max 0.178, set-average bias 0.034 on the 1-10 scale, against a 22.6x
+    measured throughput gap (RESULTS_r4 config 2) — so the PRODUCT default
+    is now bf16 (Config.nima_dtype); this function keeps f32 as its own
+    default so direct library callers get reference-exact numerics unless
+    they opt in.
     """
     model = NIMA(dtype=jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32)
     if weights_path and os.path.exists(weights_path):

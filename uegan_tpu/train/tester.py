@@ -268,7 +268,8 @@ class Tester:
         if args.is_test_nima:
             nima_path = os.path.join(args.save_root_dir, "nima_test_results")
             curr = calc_nima(test_save_path, nima_path, tag,
-                             weights_path=args.nima_weights, legacy_average=args.legacy_metrics)
+                             weights_path=args.nima_weights, legacy_average=args.legacy_metrics,
+                             compute_dtype=args.nima_dtype)
             print(f"====== Avg. NIMA: {curr:>.4f} ======")
             results["nima"] = float(curr)
         if args.is_test_psnr_ssim:

@@ -313,6 +313,7 @@ class Trainer:
             curr = calc_nima(
                 val_save_path, self.nima_result_save_path, current_epoch,
                 weights_path=args.nima_weights, legacy_average=args.legacy_metrics,
+                compute_dtype=args.nima_dtype,
             )
             if self.best_nima < curr:
                 self.best_nima, self.best_nima_epoch = curr, current_epoch

@@ -159,3 +159,24 @@ def test_input_fetcher_normalizes_uint8_on_device(fivek_dir):
     np.testing.assert_allclose(
         np.asarray(bu["img_raw"]), np.asarray(bf["img_raw"]), atol=1.2e-7, rtol=0
     )
+
+
+def test_prep_train_data_resizes_short_side(tmp_path):
+    """Offline prep (tools/prep_train_data.py): big originals shrink to the
+    short-side target, small ones copy through byte-identical."""
+    from PIL import Image
+
+    from uegan_tpu.tools.prep_train_data import prep_folder
+
+    src = tmp_path / "train"
+    for d, (h, w) in (("exp", (400, 600)), ("raw", (96, 128))):
+        (src / d).mkdir(parents=True)
+        Image.fromarray(
+            np.random.default_rng(3).integers(0, 255, (h, w, 3), dtype=np.uint8)
+        ).save(src / d / "a.png")
+    n = prep_folder(str(src), str(tmp_path / "out"), short_side=200)
+    assert n == 2
+    with Image.open(tmp_path / "out" / "exp" / "a.png") as im:
+        assert im.size == (300, 200)  # 400x600 -> short side 200, aspect kept
+    assert (tmp_path / "out" / "raw" / "a.png").read_bytes() == (
+        src / "raw" / "a.png").read_bytes()  # already small: untouched copy

@@ -155,10 +155,14 @@ def test_cli_native_resolution_e2e(tmp_path):
         "--test_img_size", "32", "--val_batch_size", "2",
         "--pretrained_model", "0",
         "--compute_dtype", "float32",
-        "--is_test_nima", "false", "--is_test_psnr_ssim", "false",
+        # native-size labels (the _write_folder label/ mirror): the disk
+        # PSNR/SSIM protocol must work at native resolution too
+        "--is_test_nima", "false", "--is_test_psnr_ssim", "true",
         "--test_keep_aspect", "true", "--is_print_network", "false",
     ])
     cli.main(cfg)
+    psnr_csvs = list((save / "psnr_test_results").glob("*.csv"))
+    assert psnr_csvs, "native-res PSNR protocol produced no CSV"
     outdir = save / "UEGAN-FiveK" / "test" / "test_results"
     outs = sorted(os.listdir(outdir))
     assert len(outs) == 3

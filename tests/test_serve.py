@@ -169,3 +169,25 @@ def test_unknown_route_404(server):
     conn.request("POST", "/api/nope", body=b"")
     r = conn.getresponse()
     assert r.status == 404
+
+
+def test_enhance_keep_aspect_native_size(rng):
+    """--keep_aspect serves native-resolution enhancement: a non-square,
+    non-/16 input comes back at ITS OWN size, not the square resize."""
+    srv = create_server(host="127.0.0.1", port=0, test_img_size=32,
+                        keep_aspect=True)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        arr = (rng.random((40, 56, 3)) * 255).astype(np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, "PNG")
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
+        conn.request("POST", "/api/enhance", body=buf.getvalue())
+        r = conn.getresponse()
+        assert r.status == 200
+        img = Image.open(io.BytesIO(r.read()))
+        assert img.size == (56, 40)  # PIL size is (w, h)
+    finally:
+        srv.shutdown()

@@ -105,7 +105,7 @@ class _Models:
     def __init__(self, nima_weights: str = "", generator_ckpt: str = "",
                  test_img_size: int = 512, quantized_inference: str = "",
                  nima_dtype: str = "float32", batch_window_ms: float = 2.0,
-                 max_batch: int = 16):
+                 max_batch: int = 16, keep_aspect: bool = False):
         self._lock = threading.Lock()
         self.nima_weights = nima_weights
         self.generator_ckpt = generator_ckpt
@@ -114,6 +114,11 @@ class _Models:
         self.nima_dtype = nima_dtype
         self.batch_window_ms = batch_window_ms
         self.max_batch = max_batch
+        # native-resolution enhancement (the CLI's --test_keep_aspect, served):
+        # pad-reflect to the bucketed /16 grid, enhance, crop back
+        # (infer/native.py).  Requests run unbatched — mixed native shapes
+        # can't share a stacked program; each bucket shape jit-caches once.
+        self.keep_aspect = keep_aspect
         self._nima = None
         self._enhancer = None
         self._nima_batcher: Optional[_MicroBatcher] = None
@@ -220,9 +225,21 @@ class _Models:
                     lambda arrs: np.asarray(fn(st.g_params, st.g_extra, jnp.asarray(arrs))),
                     self.batch_window_ms, self.max_batch,
                 )
-        s = self.test_img_size
-        arr = np.asarray(image.convert("RGB").resize((s, s), Image.BILINEAR))  # uint8
-        out_u8 = self._enhance_batcher.submit(arr)
+        if self.keep_aspect:
+            import jax.numpy as jnp
+
+            from uegan_tpu.infer.native import enhance_native
+
+            fn, st = self._enhancer
+            arr = np.asarray(image.convert("RGB"))[None]  # native uint8 NHWC
+            out_u8 = enhance_native(
+                lambda b: np.asarray(fn(st.g_params, st.g_extra, jnp.asarray(b))),
+                arr,
+            )[0]
+        else:
+            s = self.test_img_size
+            arr = np.asarray(image.convert("RGB").resize((s, s), Image.BILINEAR))  # uint8
+            out_u8 = self._enhance_batcher.submit(arr)
         buf = io.BytesIO()
         Image.fromarray(out_u8).save(buf, "PNG")
         return buf.getvalue()
@@ -302,6 +319,10 @@ def main(argv=None) -> None:
                    help="micro-batching window: concurrent requests within it "
                         "share one device program (0 disables waiting)")
     p.add_argument("--max_batch", type=int, default=16)
+    p.add_argument("--keep_aspect", action="store_true",
+                   help="enhance at NATIVE resolution (pad to /16, crop "
+                        "back) instead of the square test_img_size resize; "
+                        "requests run unbatched")
     p.add_argument("--platform", default="")
     a = p.parse_args(argv)
     if a.platform:
@@ -312,7 +333,7 @@ def main(argv=None) -> None:
                generator_ckpt=a.generator_ckpt, test_img_size=a.test_img_size,
                quantized_inference=a.quantized_inference,
                nima_dtype=a.nima_dtype, batch_window_ms=a.batch_window_ms,
-               max_batch=a.max_batch)
+               max_batch=a.max_batch, keep_aspect=a.keep_aspect)
 
 
 if __name__ == "__main__":

@@ -58,6 +58,7 @@ def run_convergence(
     platform: str = "",
     seed: int = 1990,
     record_every: int = 0,
+    panel_png: str = "",
 ) -> dict:
     import jax
 
@@ -194,6 +195,23 @@ def run_convergence(
     trainer.train()
     wall = time.perf_counter() - t0
 
+    if panel_png:
+        # visual evidence: [raw | G(raw) | operator target] rows for the
+        # first val batch, from the FINAL trained state
+        from uegan_tpu.utils.image_io import save_image_grid, to_uint8
+
+        batch = next(iter(loaders["val"]))
+        raw = jnp.asarray(batch["img_raw"])
+        out = trainer._eval_fn(trainer.state.g_params, trainer.state.g_extra, raw)
+        d = lambda a: to_uint8(np.clip((np.asarray(a, np.float32) + 1) / 2, 0, 1))
+        rows = np.concatenate([
+            np.concatenate([d(batch["img_raw"][i]), d(out[i]),
+                            d(batch["img_exp"][i])], axis=1)
+            for i in range(min(3, raw.shape[0]))
+        ], axis=0)
+        save_image_grid([rows / 255.0], panel_png)
+        print(f"=== panel (raw | G(raw) | target) written to {panel_png} ===")
+
     psnr_final = trainer.psnr_hist[-1][1] if trainer.psnr_hist else psnr_init
     # steps/s over the steady half (skips compile + warmup)
     w = trainer._wall
@@ -231,11 +249,15 @@ def main():
     ap.add_argument("--record_every", type=int, default=0)
     ap.add_argument("--root", default="", help="reuse an existing fixture dir")
     ap.add_argument("--out", default="")
+    ap.add_argument("--panel", default="",
+                    help="write a [raw | G(raw) | target] PNG from the "
+                         "final state")
     ap.add_argument("--platform", default="")
     ap.add_argument("--seed", type=int, default=1990)
     args = ap.parse_args()
     rec = run_convergence(args.preset, args.steps, args.root, args.out,
-                          args.platform, args.seed, args.record_every)
+                          args.platform, args.seed, args.record_every,
+                          panel_png=args.panel)
     print(json.dumps({k: v for k, v in rec.items()
                       if k not in ("psnr_trajectory", "loss_trajectory")}))
 

@@ -332,3 +332,29 @@ def test_int8_strips_entry_chunked_matches():
         bundle, tabs, 16, chunk_strips=2, entry_chunked=True))(
             g_params, None, x), np.float32)
     np.testing.assert_array_equal(ecv, res)
+
+
+def test_int8_pallas_high_res_falls_back_to_strips():
+    """ADVICE r4: with quantized_inference='int8_pallas' a strip-eligible
+    input must route to the (non-pallas) int8 STRIP executor rather than the
+    full-image pallas path — the shape class strips exist to keep out of
+    RESOURCE_EXHAUSTED territory.  Verified by equality with the int8 strip
+    executor built directly from the same tables."""
+    from uegan_tpu.infer.packed import make_fast_eval
+    from uegan_tpu.infer.quantized import build_quant_tables
+    from uegan_tpu.infer.strips import make_int8_strip_eval
+
+    # strip_rows=16 satisfies the routing gate at hp=64 (hp%r==0, hp>=2r,
+    # r even, r>2*_M_EXIT)
+    cfg = Config(compute_dtype="bfloat16", quantized_inference="int8_pallas",
+                 strip_rows=16)
+    state, bundle = create_train_state(cfg, jax.random.PRNGKey(0), (128, 64), 1)
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.uniform(-1, 1, (1, 128, 64, 3)).astype(np.float32))
+    routed = make_fast_eval(bundle, state.g_params, calib_batch=np.asarray(x))
+    got = np.asarray(routed(state.g_params, state.g_extra, x), np.float32)
+
+    tabs = build_quant_tables(bundle, state.g_params, calib_batch=np.asarray(x))
+    ref = np.asarray(jax.jit(make_int8_strip_eval(bundle, tabs, 16))(
+        state.g_params, None, x), np.float32)
+    np.testing.assert_allclose(got, ref, atol=2e-2)

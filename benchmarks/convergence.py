@@ -59,6 +59,7 @@ def run_convergence(
     seed: int = 1990,
     record_every: int = 0,
     panel_png: str = "",
+    g_ema_decay: float = 0.0,
 ) -> dict:
     import jax
 
@@ -136,6 +137,7 @@ def run_convergence(
         cache_data=True, num_workers=2,
         compute_dtype="float32" if platform == "cpu" else "bfloat16",
         is_print_network=False,
+        g_ema_decay=g_ema_decay,
     ).validate()
 
     loaders = {
@@ -158,14 +160,17 @@ def run_convergence(
         def __init__(self, loaders, args):
             super().__init__(loaders, args)
             self.psnr_hist: list = []
+            self.ema_hist: list = []  # EMA-params trajectory (g_ema_decay > 0)
             self.loss_hist: list = []
             self._wall: list = []
 
-        def measure_val_psnr(self) -> float:
+        def measure_val_psnr(self, params=None) -> float:
             vals = []
             for batch in self.loaders["val"]:
                 raw = jnp.asarray(batch["img_raw"])
-                out = self._eval_fn(self.state.g_params, self.state.g_extra, raw)
+                out = self._eval_fn(
+                    self.state.g_params if params is None else params,
+                    self.state.g_extra, raw)
                 out255 = jnp.clip((out.astype(jnp.float32) + 1) / 2, 0, 1) * 255
                 lbl255 = jnp.clip(
                     (jnp.asarray(batch["img_exp"], jnp.float32) + 1) / 2, 0, 1
@@ -183,8 +188,13 @@ def run_convergence(
             if (step + 1) % p["record_every"] == 0 or (step + 1) == total_steps:
                 val = self.measure_val_psnr()
                 self.psnr_hist.append([step + 1, round(val, 4)])
-                print(f"=== convergence: step {step + 1}, "
-                      f"val PSNR vs operator target {val:.4f} dB ===")
+                line = (f"=== convergence: step {step + 1}, "
+                        f"val PSNR vs operator target {val:.4f} dB")
+                if self.state.g_ema is not None:
+                    ema = self.measure_val_psnr(self.state.g_ema)
+                    self.ema_hist.append([step + 1, round(ema, 4)])
+                    line += f" (EMA {ema:.4f})"
+                print(line + " ===")
             super()._post_step(step, total_steps, metrics, batch, images)
 
     trainer = RecordingTrainer(loaders, cfg)
@@ -202,7 +212,7 @@ def run_convergence(
 
         batch = next(iter(loaders["val"]))
         raw = jnp.asarray(batch["img_raw"])
-        out = trainer._eval_fn(trainer.state.g_params, trainer.state.g_extra, raw)
+        out = trainer._eval_fn(trainer.eval_g_params(), trainer.state.g_extra, raw)
         d = lambda a: to_uint8(np.clip((np.asarray(a, np.float32) + 1) / 2, 0, 1))
         rows = np.concatenate([
             np.concatenate([d(batch["img_raw"][i]), d(out[i]),
@@ -212,7 +222,9 @@ def run_convergence(
         save_image_grid([rows / 255.0], panel_png)
         print(f"=== panel (raw | G(raw) | target) written to {panel_png} ===")
 
-    psnr_final = trainer.psnr_hist[-1][1] if trainer.psnr_hist else psnr_init
+    # the product eval weights are the EMA copy when one is kept (ema_eval)
+    final_hist = trainer.ema_hist or trainer.psnr_hist
+    psnr_final = final_hist[-1][1] if final_hist else psnr_init
     # steps/s over the steady half (skips compile + warmup)
     w = trainer._wall
     sps = (len(w) // 2) / (w[-1] - w[len(w) // 2 - 1]) if len(w) > 4 else 0.0
@@ -229,7 +241,9 @@ def run_convergence(
         "psnr_final_db": round(psnr_final, 4),
         "psnr_gain_db": round(psnr_final - psnr_init, 4),
         "beats_identity": bool(psnr_final > id_psnr),
+        "g_ema_decay": g_ema_decay,
         "psnr_trajectory": trainer.psnr_hist,
+        **({"ema_psnr_trajectory": trainer.ema_hist} if trainer.ema_hist else {}),
         "loss_trajectory": trainer.loss_hist,
         "achieved_steps_per_s_real_data": round(sps, 3),
         "wall_s": round(wall, 1),
@@ -254,12 +268,16 @@ def main():
                          "final state")
     ap.add_argument("--platform", default="")
     ap.add_argument("--seed", type=int, default=1990)
+    ap.add_argument("--g_ema_decay", type=float, default=0.0,
+                    help="Polyak-average G (e.g. 0.999) — eval/record the "
+                         "EMA copy alongside the live params")
     args = ap.parse_args()
     rec = run_convergence(args.preset, args.steps, args.root, args.out,
                           args.platform, args.seed, args.record_every,
-                          panel_png=args.panel)
+                          panel_png=args.panel, g_ema_decay=args.g_ema_decay)
     print(json.dumps({k: v for k, v in rec.items()
-                      if k not in ("psnr_trajectory", "loss_trajectory")}))
+                      if k not in ("psnr_trajectory", "loss_trajectory",
+                                   "ema_psnr_trajectory")}))
 
 
 if __name__ == "__main__":

@@ -207,6 +207,19 @@ class Config:
     test_keep_aspect: bool = False  # keep native resolution (pad to /16)
     profile_dir: str = ""  # jax.profiler trace output
     checkpoint_async: bool = True
+    g_ema_decay: float = 0.0  # > 0: keep a Polyak/EMA copy of the G params
+    # (updated inside the jitted step; Karras-style warmup
+    # min(decay, (1+t)/(10+t)) so early steps track the live params).  The
+    # r5 convergence runs show classic adversarial drift after the PSNR
+    # peak (25.2 dB at step 750 -> 21.6 at 3000, CONVERGENCE_r5.json); an
+    # EMA generator averages through the D-chasing oscillation.  The
+    # reference has no analog (its answer is best-epoch checkpoint
+    # selection, which stays available); 0.0 (off) preserves the
+    # bit-canonical step.  Try 0.999 for fixture-scale runs, 0.9999 at
+    # FiveK scale.
+    ema_eval: bool = True  # when an EMA copy exists, validate/test with it
+    # (Trainer validation + Tester inference); False evaluates the live
+    # params even if the checkpoint carries an EMA copy.
 
     # ------------------------------------------------------------------
     def replace(self, **kw) -> "Config":
@@ -234,6 +247,8 @@ class Config:
         for d in (self.compute_dtype, self.param_dtype, self.nima_dtype):
             if d not in ("float32", "bfloat16", "float16"):
                 raise ValueError(f"dtype [{d}] is not supported")
+        if not (0.0 <= self.g_ema_decay < 1.0):
+            raise ValueError(f"g_ema_decay [{self.g_ema_decay}] must be in [0, 1)")
         return self
 
     # epoch tag used in checkpoint / result filenames: the reference formats a

@@ -193,12 +193,24 @@ class _Models:
                         import orbax.checkpoint as ocp
 
                         ckptr = ocp.StandardCheckpointer()
-                        abstract = jax.tree_util.tree_map(
-                            ocp.utils.to_shape_dtype_struct, jax.device_get(state)
-                        )
-                        state = ckptr.restore(
-                            os.path.abspath(self.generator_ckpt), abstract
-                        )
+                        host = jax.device_get(state)
+                        sds = ocp.utils.to_shape_dtype_struct
+                        try:
+                            state = ckptr.restore(
+                                os.path.abspath(self.generator_ckpt),
+                                jax.tree_util.tree_map(sds, host),
+                            )
+                        except Exception:
+                            # checkpoint trained with g_ema_decay carries the
+                            # Polyak copy; retry with the slot populated
+                            alt = host.replace(g_ema=host.g_params)
+                            state = ckptr.restore(
+                                os.path.abspath(self.generator_ckpt),
+                                jax.tree_util.tree_map(sds, alt),
+                            )
+                        if state.g_ema is not None:
+                            # serve the averaged weights (Config.ema_eval)
+                            state = state.replace(g_params=state.g_ema)
                     else:
                         # never serve random-init weights on a bad path
                         raise FileNotFoundError(

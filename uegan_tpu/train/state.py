@@ -37,6 +37,10 @@ class TrainState:
     d_opt: Any
     pool: PoolState
     rng: jax.Array
+    # Polyak/EMA copy of g_params (Config.g_ema_decay > 0), else None — the
+    # None default keeps the pytree structure (and checkpoints) of EMA-less
+    # runs unchanged.
+    g_ema: Any = None
 
     @property
     def epoch(self):
@@ -131,6 +135,13 @@ def create_train_state(
         v_vars = vgg_model.init(k_vgg, dummy)
         g_params, g_extra = split_collections(g_vars)
         d_params, d_extra = split_collections(d_vars)
+        # EMA starts as a distinct COPY of the init params (jnp.copy forces
+        # separate output buffers — the train step donates the state, and two
+        # donated leaves must not alias one buffer)
+        g_ema = (
+            jax.tree_util.tree_map(jnp.copy, g_params)
+            if config.g_ema_decay > 0 else None
+        )
         state = TrainState(
             step=jnp.zeros((), jnp.int32),
             g_params=g_params,
@@ -141,6 +152,7 @@ def create_train_state(
             d_opt=d_tx.init(d_params),
             pool=pool_init(config.pool_size, (h, w, 3)),
             rng=k_state,
+            g_ema=g_ema,
         )
         return state, v_vars
 

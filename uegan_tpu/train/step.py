@@ -226,7 +226,21 @@ def make_train_step(bundle: ModelBundle) -> Callable[[TrainState, Dict], Tuple[T
         g_updates, g_opt = bundle.g_tx.update(g_grads, state.g_opt, state.g_params)
         g_params1 = optax.apply_updates(state.g_params, g_updates)
 
+        # ---- Polyak/EMA generator (TPU-native addition; Config.g_ema_decay).
+        # Karras-style warmup: effective decay min(d, (1+t)/(10+t)) so the
+        # average tracks the live params early instead of dragging the init.
+        if cfg.g_ema_decay > 0:
+            t = state.step.astype(jnp.float32)
+            d_t = jnp.minimum(cfg.g_ema_decay, (1.0 + t) / (10.0 + t))
+            g_ema1 = jax.tree_util.tree_map(
+                lambda e, p: e + (1.0 - d_t) * (p.astype(e.dtype) - e),
+                state.g_ema, g_params1,
+            )
+        else:
+            g_ema1 = state.g_ema
+
         new_state = state.replace(
+            g_ema=g_ema1,
             step=state.step + 1,
             g_params=g_params1,
             d_params=d_params1,

@@ -124,6 +124,13 @@ class Tester:
         if os.path.exists(orbax_path):
             template = jax.device_get(self.state)
             self.state = self.ckpt.restore(template, resume_epochs)
+            if self.args.ema_eval and self.state.g_ema is not None:
+                # checkpoints trained with g_ema_decay carry a Polyak copy of
+                # G; swap it in as THE inference weights (averages through
+                # the adversarial drift — Config.g_ema_decay) so every
+                # downstream path (packed/strip/int8/spatial) uses it.
+                # --ema_eval false restores the live-params behavior.
+                self.state = self.state.replace(g_params=self.state.g_ema)
         elif os.path.exists(pth):
             from uegan_tpu.convert.torch_import import import_uegan_checkpoint
 

@@ -113,6 +113,14 @@ class Trainer:
         )
         print("=== Models have been created ===")
 
+    def eval_g_params(self):
+        """G params for validation/sampling: the EMA copy when one is kept
+        and ``Config.ema_eval`` is on (it averages through the adversarial
+        drift the r5 convergence runs measured), else the live params."""
+        if self.args.ema_eval and self.state.g_ema is not None:
+            return self.state.g_ema
+        return self.state.g_params
+
     def print_network(self):
         for name, tree in (("Generator", self.state.g_params), ("Discriminator", self.state.d_params)):
             n = count_params(tree)
@@ -275,7 +283,7 @@ class Trainer:
             raw = jnp.asarray(batch["img_raw"])
             # uint8 frames come off the device; the float output never
             # leaves it (the on-device metrics consume it in place)
-            out_u8_dev, out = self._eval_u8_fn(self.state.g_params, self.state.g_extra, raw)
+            out_u8_dev, out = self._eval_u8_fn(self.eval_g_params(), self.state.g_extra, raw)
             out_u8 = np.asarray(out_u8_dev)
             raw_u8 = to_uint8(_denorm_np(batch["img_raw"]))  # host array, no fetch
             if args.on_device_metrics and "img_exp" in batch:
@@ -354,9 +362,14 @@ class Trainer:
         pth = self.ckpt.path(resume_epochs) + ".pth"
         if os.path.exists(self.ckpt.path(resume_epochs)):
             template = jax.device_get(self.state)
-            self.state = jax.device_put(
-                self.ckpt.restore(template, resume_epochs), replicated(self.mesh)
-            )
+            restored = self.ckpt.restore(template, resume_epochs)
+            if self.args.g_ema_decay > 0 and restored.g_ema is None:
+                # EMA turned on mid-run over an EMA-less checkpoint: seed the
+                # average from the restored params (warmup decay re-ramps)
+                restored = restored.replace(
+                    g_ema=jax.tree_util.tree_map(jnp.copy, restored.g_params)
+                )
+            self.state = jax.device_put(restored, replicated(self.mesh))
         elif os.path.exists(pth):
             from uegan_tpu.convert.torch_import import import_uegan_checkpoint
 

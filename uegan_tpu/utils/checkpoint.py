@@ -63,7 +63,24 @@ class CheckpointManager:
         if not os.path.exists(path):
             raise FileNotFoundError(f"checkpoint not found: {path}")
         abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, state_template)
-        return self._ckptr.restore(path, abstract)
+        try:
+            return self._ckptr.restore(path, abstract)
+        except Exception:
+            # The one legitimate structure mismatch: the EMA slot.  A run
+            # config with g_ema_decay off builds a template whose ``g_ema``
+            # is None, but the checkpoint on disk may carry the EMA copy
+            # (trained with EMA on) — or the reverse.  Toggle the slot to
+            # match the disk and retry; the caller decides what to do with
+            # the extra/missing average (Trainer re-seeds it, Tester uses it
+            # under ema_eval).
+            if not hasattr(state_template, "g_ema"):
+                raise
+            alt = state_template.replace(
+                g_ema=None if state_template.g_ema is not None
+                else state_template.g_params
+            )
+            abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, alt)
+            return self._ckptr.restore(path, abstract)
 
     def latest_epoch(self) -> Optional[str]:
         prefix = f"{self.config.version}_{self.config.adv_loss_type}_"

@@ -30,6 +30,9 @@ VARIANTS = {
     # packed-interior lever (VERDICT r3 #5): second s2d level on the
     # half-res stage group of the packed train forward
     "l2": {"packed_train_l2": True},
+    # Polyak/EMA generator (r5): prices the in-step axpy over G's 4.16M
+    # params against the default step
+    "ema": {"g_ema_decay": 0.999},
 }
 
 

@@ -81,6 +81,55 @@ def test_enhance_int8_mode(rng):
         srv.shutdown()
 
 
+@pytest.mark.slow
+def test_enhance_serves_ema_weights(rng, tmp_path):
+    """An orbax checkpoint trained with g_ema_decay carries the Polyak copy;
+    the server's restore fallback must accept it (its template is EMA-less)
+    and serve the AVERAGED weights, matching a direct forward with g_ema."""
+    import jax
+    import jax.numpy as jnp
+
+    from uegan_tpu.config import Config
+    from uegan_tpu.data.pipeline import device_normalize
+    from uegan_tpu.infer.packed import make_fast_eval
+    from uegan_tpu.train.state import create_train_state
+    from uegan_tpu.utils.checkpoint import CheckpointManager
+
+    cfg = Config(g_ema_decay=0.999, checkpoint_async=False)
+    state, bundle = create_train_state(cfg, jax.random.PRNGKey(0), (32, 32), 1)
+    # make the EMA copy distinct from the live params so serving the wrong
+    # tree would be detected
+    state = state.replace(g_ema=jax.tree_util.tree_map(
+        lambda p: p + 0.01, state.g_params))
+    mgr = CheckpointManager(str(tmp_path), cfg)
+    path = mgr.save(jax.device_get(state), 9)
+
+    srv = create_server(host="127.0.0.1", port=0, test_img_size=32,
+                        generator_ckpt=path)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        png = _png_bytes(rng)
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
+        conn.request("POST", "/api/enhance", body=png)
+        r = conn.getresponse()
+        assert r.status == 200
+        got = np.asarray(Image.open(io.BytesIO(r.read())))
+
+        # expected: the served pipeline (resize -> u8 fast path) with g_ema
+        arr = np.asarray(
+            Image.open(io.BytesIO(png)).convert("RGB").resize((32, 32), Image.BILINEAR)
+        )[None]
+        base = make_fast_eval(bundle, state.g_ema, u8_output=True)
+        want = np.asarray(jax.jit(
+            lambda p, e, x: base(p, e, device_normalize(x))
+        )(state.g_ema, state.g_extra, jnp.asarray(arr)))[0]
+        np.testing.assert_array_equal(got, want)
+    finally:
+        srv.shutdown()
+
+
 def test_microbatcher_groups_and_orders():
     """Concurrent submits share device calls; each caller gets ITS result
     back (order-preserving distribution), padding never leaks out."""

@@ -307,7 +307,9 @@ def create_server(host: str = "0.0.0.0", port: int = 5000, **model_kw) -> Thread
         def log_message(self, fmt, *args):  # quiet
             pass
 
-    return ThreadingHTTPServer((host, port), Handler)
+    srv = ThreadingHTTPServer((host, port), Handler)
+    srv.models = models  # observability: batcher call counts, lazy handles
+    return srv
 
 
 def run_server(host="0.0.0.0", port=5000, **model_kw) -> None:

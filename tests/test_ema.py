@@ -99,6 +99,28 @@ def test_ema_live_params_match_emaless_run():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_restore_eval_state_swaps_ema(tmp_path):
+    """The direct-path inference restore (serving / model export) accepts
+    EMA checkpoints against an EMA-less template and returns the averaged
+    weights as g_params; use_ema=False keeps the live params."""
+    from uegan_tpu.utils.checkpoint import CheckpointManager, restore_eval_state
+
+    cfg_on = TINY.replace(g_ema_decay=0.999, checkpoint_async=False)
+    s_on, _ = create_train_state(cfg_on, jax.random.PRNGKey(0), (32, 32), steps_per_epoch=10)
+    s_on = s_on.replace(g_ema=jax.tree_util.tree_map(lambda p: p + 0.5, s_on.g_params))
+    path = CheckpointManager(str(tmp_path), cfg_on).save(jax.device_get(s_on), 3)
+
+    template, _ = create_train_state(TINY, jax.random.PRNGKey(1), (32, 32), steps_per_epoch=10)
+    got = restore_eval_state(path, jax.device_get(template))
+    for a, b in zip(jax.tree_util.tree_leaves(got.g_params),
+                    jax.tree_util.tree_leaves(s_on.g_ema)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    raw = restore_eval_state(path, jax.device_get(template), use_ema=False)
+    for a, b in zip(jax.tree_util.tree_leaves(raw.g_params),
+                    jax.tree_util.tree_leaves(s_on.g_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_checkpoint_ema_slot_compat(tmp_path):
     """Restore works across the g_ema_decay on/off boundary in both
     directions (utils/checkpoint.py fallback)."""

@@ -190,27 +190,13 @@ class _Models:
                             )
                         )
                     elif os.path.isdir(self.generator_ckpt):
-                        import orbax.checkpoint as ocp
+                        # accepts EMA-carrying checkpoints and serves the
+                        # averaged weights when present (Config.ema_eval)
+                        from uegan_tpu.utils.checkpoint import restore_eval_state
 
-                        ckptr = ocp.StandardCheckpointer()
-                        host = jax.device_get(state)
-                        sds = ocp.utils.to_shape_dtype_struct
-                        try:
-                            state = ckptr.restore(
-                                os.path.abspath(self.generator_ckpt),
-                                jax.tree_util.tree_map(sds, host),
-                            )
-                        except Exception:
-                            # checkpoint trained with g_ema_decay carries the
-                            # Polyak copy; retry with the slot populated
-                            alt = host.replace(g_ema=host.g_params)
-                            state = ckptr.restore(
-                                os.path.abspath(self.generator_ckpt),
-                                jax.tree_util.tree_map(sds, alt),
-                            )
-                        if state.g_ema is not None:
-                            # serve the averaged weights (Config.ema_eval)
-                            state = state.replace(g_params=state.g_ema)
+                        state = restore_eval_state(
+                            self.generator_ckpt, jax.device_get(state)
+                        )
                     else:
                         # never serve random-init weights on a bad path
                         raise FileNotFoundError(

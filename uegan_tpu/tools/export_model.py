@@ -57,15 +57,11 @@ def export_generator(
                 )
             )
         else:
-            import os
+            # accepts EMA-carrying checkpoints; exports the averaged weights
+            # when present (Config.ema_eval semantics)
+            from uegan_tpu.utils.checkpoint import restore_eval_state
 
-            import orbax.checkpoint as ocp
-
-            ckptr = ocp.StandardCheckpointer()
-            abstract = jax.tree_util.tree_map(
-                ocp.utils.to_shape_dtype_struct, jax.device_get(state)
-            )
-            state = ckptr.restore(os.path.abspath(ckpt), abstract)
+            state = restore_eval_state(ckpt, jax.device_get(state))
 
     eval_fn = make_fast_eval(bundle, state.g_params, u8_output=u8_io)
     g_params, g_extra = state.g_params, state.g_extra

@@ -29,6 +29,33 @@ def ckpt_name(version: str, adv_loss_type: str, epoch) -> str:
     return f"{version}_{adv_loss_type}_{Config.epoch_tag(epoch)}"
 
 
+def restore_eval_state(path: str, state_template: Any, use_ema: bool = True) -> Any:
+    """Restore a TrainState from an orbax dir for INFERENCE consumers
+    (serving, model export) that take a direct checkpoint path.
+
+    Accepts checkpoints written with or without the Polyak/EMA slot
+    regardless of the template's config (the one legitimate structure
+    mismatch — see :meth:`CheckpointManager.restore`), and by default swaps
+    the EMA copy in as the eval weights when the checkpoint carries one
+    (``Config.ema_eval`` semantics)."""
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    sds = ocp.utils.to_shape_dtype_struct
+    try:
+        state = ckptr.restore(path, jax.tree_util.tree_map(sds, state_template))
+    except Exception:
+        if not hasattr(state_template, "g_ema"):
+            raise
+        alt = state_template.replace(
+            g_ema=None if state_template.g_ema is not None
+            else state_template.g_params
+        )
+        state = ckptr.restore(path, jax.tree_util.tree_map(sds, alt))
+    if use_ema and getattr(state, "g_ema", None) is not None:
+        state = state.replace(g_params=state.g_ema)
+    return state
+
+
 class CheckpointManager:
     def __init__(self, model_save_path: str, config: Config):
         self.root = os.path.abspath(model_save_path)

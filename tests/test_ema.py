@@ -99,6 +99,42 @@ def test_ema_live_params_match_emaless_run():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_ema_on_mesh_matches_single_device():
+    """EMA under GSPMD: the replicated-param axpy must shard away cleanly —
+    the 8-device data-parallel step's EMA tree equals the single-device
+    one to the mesh reduction-noise bound (SGD; see test_parallel)."""
+    import optax
+
+    from uegan_tpu.parallel.mesh import make_mesh
+    from uegan_tpu.parallel.sharding import batch_sharding, replicated
+
+    cfg = TINY.replace(g_ema_decay=0.999, train_batch_size=8)
+
+    def step_once(mesh=None):
+        state, bundle = create_train_state(cfg, jax.random.PRNGKey(0), (32, 32), 4)
+        tx = optax.sgd(1e-3)
+        bundle = bundle._replace(g_tx=tx, d_tx=tx)
+        state = state.replace(g_opt=tx.init(state.g_params),
+                              d_opt=tx.init(state.d_params))
+        raw = np.random.default_rng(10).uniform(-1, 1, (8, 32, 32, 3)).astype(np.float32)
+        exp = np.random.default_rng(11).uniform(-1, 1, (8, 32, 32, 3)).astype(np.float32)
+        step_fn = jax.jit(make_train_step(bundle))
+        if mesh is not None:
+            state = jax.device_put(state, replicated(mesh))
+            bsh = batch_sharding(mesh)
+            raw, exp = jax.device_put(raw, bsh), jax.device_put(exp, bsh)
+        new_state, _, _ = step_fn(state, raw, exp)
+        return jax.device_get(new_state)
+
+    single = step_once()
+    mesh = make_mesh(n_data=8, n_spatial=1)
+    sharded = step_once(mesh)
+    assert sharded.g_ema is not None
+    for a, b in zip(jax.tree_util.tree_leaves(single.g_ema),
+                    jax.tree_util.tree_leaves(sharded.g_ema)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=0)
+
+
 def test_restore_eval_state_swaps_ema(tmp_path):
     """The direct-path inference restore (serving / model export) accepts
     EMA checkpoints against an EMA-less template and returns the averaged

@@ -235,6 +235,7 @@ _WORKER = textwrap.dedent("""
     arr = distributed.local_batch_to_global(local, mesh, P(DATA_AXIS))
     assert arr.shape[0] == global_batch
     import jax.numpy as jnp
+    distributed.barrier("smoke_mean")  # align before the job's 1st collective
     total = jax.jit(
         lambda a: jnp.mean(a),
         out_shardings=NamedSharding(mesh, P()),
@@ -263,7 +264,12 @@ _WORKER = textwrap.dedent("""
     spec = batch_sharding(mesh).spec
     raw = distributed.local_batch_to_global(mk(), mesh, spec)
     exp = distributed.local_batch_to_global(mk(), mesh, spec)
-    state, metrics, _ = jax.jit(make_train_step(bundle))(state, raw, exp)
+    # AOT-compile before dispatch + re-align (per-process cache keys can
+    # skew compile times past Gloo's 30 s init deadline — see _TRAJ_WORKER)
+    sf = jax.jit(make_train_step(bundle))
+    sf.lower(state, raw, exp).compile()
+    distributed.barrier("smoke_step")
+    state, metrics, _ = sf(state, raw, exp)
     for k, v in metrics.items():
         assert np.isfinite(float(v)), k
     assert int(jax.device_get(state.step)) == 1
@@ -325,19 +331,37 @@ _TRAJ_WORKER = textwrap.dedent("""
 
     step_fn = jax.jit(make_train_step(bundle))
     spec = batch_sharding(mesh).spec
-    for i in range(start, stop):
+
+    def global_batch_pair(i):
         # every process derives the SAME deterministic global batch and
         # feeds its own shard — identical inputs across the three runs
         raw = np.random.default_rng(100 + i).uniform(-1, 1, (gb, hw, hw, 3)).astype(np.float32)
         exp = np.random.default_rng(200 + i).uniform(-1, 1, (gb, hw, hw, 3)).astype(np.float32)
         raw = distributed.local_batch_to_global(raw[proc * per:(proc + 1) * per], mesh, spec)
         exp = distributed.local_batch_to_global(exp[proc * per:(proc + 1) * per], mesh, spec)
+        return raw, exp
+
+    # AOT-compile the step BEFORE any dispatch, then re-align: each process
+    # has its own persistent-cache key (per-process device assignment), so
+    # one can hit the cache while the other recompiles for minutes — far
+    # beyond Gloo's hard 30 s context-init deadline at the first dispatched
+    # collective (parallel/distributed.py:barrier).  After the barrier both
+    # dispatch within milliseconds of each other.
+    raw0, exp0 = global_batch_pair(start)
+    step_fn.lower(state, raw0, exp0).compile()
+    distributed.barrier("traj_compiled_" + mode)
+    for i in range(start, stop):
+        raw, exp = global_batch_pair(i)
         state, metrics, _ = step_fn(state, raw, exp)
 
     if mode == "first":
         # replicated global state: every leaf is fully addressable on both
-        # processes; both participate in the (coordinated) orbax save
+        # processes; both participate in the (coordinated) orbax save.
+        # checkpoint_async defaults ON (r5): the save contract requires
+        # wait_until_finished() before process exit, or the background
+        # commit races interpreter shutdown ("cannot schedule new futures")
         mgr.save(jax.device_get(state), 1)
+        mgr.wait_until_finished()
     elif proc == 0:
         leaves = jax.tree_util.tree_leaves(jax.device_get(
             (state.g_params, state.d_params, state.d_extra, state.pool)))

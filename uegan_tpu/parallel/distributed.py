@@ -40,6 +40,26 @@ def initialize_distributed(
     )
 
 
+def barrier(name: str = "uegan_barrier", timeout_ms: int = 600_000) -> None:
+    """Align processes via the coordination service before a first collective.
+
+    XLA's Gloo CPU-collective context init has a hard ~30 s key-value
+    deadline: if one process reaches the job's FIRST collective >30 s before
+    its peers (startup/compile skew — routine on a time-sliced single-core
+    host, and possible on real fleets with cold compile caches), Gloo init
+    fails with DEADLINE_EXCEEDED and takes the job down.  This barrier rides
+    the coordination service (plain gRPC to the coordinator, no device
+    collective, generous configurable timeout), so call it after per-process
+    setup and right before the first cross-process computation.  No-op
+    single-process."""
+    from jax._src import distributed as _dist
+
+    client = _dist.global_state.client
+    if client is None:
+        return  # single-process
+    client.wait_at_barrier(name, timeout_ms)
+
+
 def local_batch_to_global(batch, mesh, spec):
     """Assemble a per-host batch shard into a global sharded array."""
     import jax

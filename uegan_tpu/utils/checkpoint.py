@@ -62,6 +62,15 @@ class CheckpointManager:
         os.makedirs(self.root, exist_ok=True)
         self.config = config
         self._ckptr = ocp.StandardCheckpointer()
+        if config.checkpoint_async:
+            # async saves commit on a background thread; if the process
+            # exits first, the commit races interpreter teardown ("cannot
+            # schedule new futures after interpreter shutdown") and the
+            # checkpoint is lost.  The Trainer waits explicitly at train
+            # end; this guards every other exit path and direct API user.
+            import atexit
+
+            atexit.register(self._ckptr.wait_until_finished)
 
     def path(self, epoch) -> str:
         return os.path.join(self.root, ckpt_name(self.config.version, self.config.adv_loss_type, epoch))
